@@ -1,0 +1,118 @@
+"""Verdict aggregation, report rendering, export projection — the Spark
+analogs of the reference's summary/report/export stages
+(base_validator.py:115-125,196-267; unified_validator.py:146-165,252-269).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def verdicts(
+    facts: DataFrame,
+    violations: DataFrame,
+    partition_col: str = "ds",
+) -> DataFrame:
+    """Per-partition pass/fail verdicts (G1/G2).
+
+    Semantics mirror base_validator.py:132-159: a turn with any error is
+    invalid; warnings alone leave it valid-with-warnings; conversation-
+    scope violations are counted separately as relationship_errors
+    (base_validator.py:167-188). One hash-agg pass over violations + one
+    metadata-cheap count over facts.
+    """
+    totals = facts.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("total_turns"),
+        F.countDistinct("conv_id").alias("n_conversations"),
+    )
+    turn_v = violations.where(F.col("scope") == "turn")
+    per_turn = turn_v.groupBy(partition_col, "conv_id", "turn_idx").agg(
+        F.max((F.col("severity") == "error").cast("int")).alias("has_error"),
+        F.max((F.col("severity") == "warning").cast("int")).alias("has_warning"),
+    )
+    turn_agg = per_turn.groupBy(partition_col).agg(
+        F.sum("has_error").alias("error_turns"),
+        F.sum(((F.col("has_warning") == 1) & (F.col("has_error") == 0)).cast("int")).alias(
+            "warning_only_turns"
+        ),
+    )
+    conv_agg = (
+        violations.where(F.col("scope") == "conv")
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("relationship_errors"))
+    )
+    out = (
+        totals.join(turn_agg, on=partition_col, how="left")
+        .join(conv_agg, on=partition_col, how="left")
+        .na.fill(
+            {"error_turns": 0, "warning_only_turns": 0, "relationship_errors": 0}
+        )
+    )
+    return out.select(
+        partition_col,
+        "total_turns",
+        "n_conversations",
+        (F.col("total_turns") - F.col("error_turns")).alias("valid_turns"),
+        "error_turns",
+        "warning_only_turns",
+        "relationship_errors",
+        F.when(
+            (F.col("error_turns") > 0) | (F.col("relationship_errors") > 0), F.lit("fail")
+        )
+        .when(F.col("warning_only_turns") > 0, F.lit("pass_with_warnings"))
+        .otherwise(F.lit("pass"))
+        .alias("verdict"),
+    )
+
+
+def render_report(verdict_rows: list, rule_counts: list) -> str:
+    """Human report over the (small, collected) verdict table — the analog
+    of base_validator.py:196-267's per-type report. Driver-side string
+    formatting only; all heavy lifting happened in the aggregations."""
+    lines = ["=" * 62, "VALIDATION REPORT", "=" * 62]
+    for r in sorted(verdict_rows, key=lambda r: str(r["ds"])):
+        lines.append(
+            f"\npartition {r['ds']}: {r['verdict'].upper()}\n"
+            f"  turns: {r['total_turns']} total, {r['valid_turns']} valid, "
+            f"{r['error_turns']} with errors, {r['warning_only_turns']} warnings-only\n"
+            f"  conversations: {r['n_conversations']}, "
+            f"relationship errors: {r['relationship_errors']}"
+        )
+    if rule_counts:
+        lines.append("\nviolations by rule:")
+        for r in sorted(rule_counts, key=lambda r: (-r["n"], r["rule_id"])):
+            lines.append(f"  {r['rule_id']:<22} {r['severity']:<8} {r['n']}")
+    lines.append("=" * 62)
+    return "\n".join(lines)
+
+
+def export_valid(
+    facts: DataFrame,
+    violations: DataFrame,
+    partition_col: str = "ds",
+) -> DataFrame:
+    """S7 analog: project VALID turns into an export shape, with the
+    term->URL expansion the reference does per record
+    (validation_utils.py:18-31 -> obo PURL). Anti-join against
+    error-bearing turns; stable ordering by (conv_id, turn_idx)."""
+    bad_keys = (
+        violations.where((F.col("scope") == "turn") & (F.col("severity") == "error"))
+        .select("conv_id", "turn_idx")
+        .distinct()
+    )
+    valid = facts.join(bad_keys, on=["conv_id", "turn_idx"], how="left_anti")
+    return valid.select(
+        "conv_id",
+        "turn_idx",
+        partition_col,
+        "role",
+        "text",
+        "ts",
+        F.when(
+            F.col("tool").isNotNull(),
+            F.concat(
+                F.lit("http://example.org/tools/"), F.regexp_replace("tool", ":", "_")
+            ),
+        ).alias("tool_url"),
+    )

@@ -1,0 +1,118 @@
+"""Rule compiler: RuleSpec list -> one wide projection -> violation rows.
+
+The whole scalar rule suite evaluates as a single `select` over the fact
+table: each rule becomes a struct<rule_id,severity,observed> Column that is
+NULL on pass; the per-row structs are packed into an array, NULLs filtered
+with a higher-order function, and exploded into violation rows. One narrow
+scan, zero shuffles, full whole-stage codegen — the vectorized replacement
+for the reference's per-record Pydantic loop (base_validator.py:127-159).
+
+Sentinel tiers wrap every rule uniformly (constants.py:214-228); a sentinel
+value short-circuits the underlying check exactly like the reference's
+early returns (organism_ruleset.py:120-121).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .library import get_builder
+from .spec import MISSING_VALUE_POLICY, RuleSpec
+
+_VIOLATION_STRUCT = "struct<rule_id:string,severity:string,observed:string>"
+
+
+def rule_to_struct(rule: RuleSpec) -> Column:
+    """Compile one rule to struct<rule_id,severity,observed> (NULL=pass)."""
+    violated, observed = get_builder(rule.kind)(rule.columns, rule.params)
+    base = F.when(
+        violated,
+        F.struct(
+            F.lit(rule.rule_id).alias("rule_id"),
+            F.lit(rule.severity).alias("severity"),
+            observed.cast("string").alias("observed"),
+        ),
+    )
+    target = F.col(rule.columns[0]).cast("string")
+    if rule.tier is None:
+        if rule.skip_sentinels:
+            from .spec import SENTINELS
+
+            return F.when(target.isin(SENTINELS), F.lit(None).cast(_VIOLATION_STRUCT)).otherwise(
+                base
+            )
+        return base
+
+    policy = MISSING_VALUE_POLICY[rule.tier]
+    sentinel_case: Column | None = None
+    for sentinel, severity in policy.items():
+        hit = target == F.lit(sentinel)
+        s = F.struct(
+            F.lit(rule.rule_id).alias("rule_id"),
+            F.lit(severity).alias("severity"),
+            F.lit(sentinel).alias("observed"),
+        )
+        sentinel_case = (
+            F.when(hit, s) if sentinel_case is None else sentinel_case.when(hit, s)
+        )
+    if sentinel_case is None:  # tier passes every sentinel
+        sentinel_case = F.lit(None).cast(_VIOLATION_STRUCT)
+    # any sentinel (even a passing one) short-circuits the base check
+    from .spec import SENTINELS
+
+    return F.when(target.isin(SENTINELS), sentinel_case).otherwise(base)
+
+
+def rules_array(rules: list[RuleSpec]) -> Column:
+    """Array of non-NULL violation structs for a row."""
+    packed = F.array(*[rule_to_struct(r) for r in rules])
+    return F.filter(packed, lambda x: x.isNotNull())
+
+
+def compile_row_rules(
+    df: DataFrame,
+    rules: list[RuleSpec],
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    partition_col: str | None = "ds",
+) -> DataFrame:
+    """Evaluate all scalar rules; return violation rows.
+
+    Output schema: (partition_col?, *key_cols, rule_id, severity,
+    scope='turn', observed).
+    """
+    keys = list(key_cols) + ([partition_col] if partition_col else [])
+    arr = rules_array(rules).alias("__v")
+    out = (
+        df.select(*keys, arr)
+        .where(F.size("__v") > 0)
+        .select(*keys, F.explode("__v").alias("v"))
+        .select(
+            *keys,
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.severity").alias("severity"),
+            F.lit("turn").alias("scope"),
+            F.col("v.observed").alias("observed"),
+        )
+    )
+    return out
+
+
+def violations_from_flags(
+    df: DataFrame,
+    rules: list[RuleSpec],
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    partition_col: str | None = "ds",
+) -> DataFrame:
+    """Per-row severity flags WITHOUT exploding — feeds the verdict
+    aggregation in the same pass (no second scan).
+
+    Output: (*keys, has_error, has_warning, n_violations)."""
+    keys = list(key_cols) + ([partition_col] if partition_col else [])
+    arr = rules_array(rules).alias("__v")
+    return df.select(*keys, arr).select(
+        *keys,
+        F.exists("__v", lambda x: x["severity"] == "error").alias("has_error"),
+        F.exists("__v", lambda x: x["severity"] == "warning").alias("has_warning"),
+        F.size("__v").alias("n_violations"),
+    )
