@@ -1,0 +1,75 @@
+"""Resume test (SURVEY.md §5 item 5): kill after K of N partitions,
+restart, assert only N-K are revalidated and results equal an
+uninterrupted run."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from faang_pydantics_validation_spark.plans import checkpoint as CP
+from faang_pydantics_validation_spark.plans.pipeline import validate_transcripts
+from faang_pydantics_validation_spark.plans.rulesets import transcript_scalar_rules
+from faang_pydantics_validation_spark.rules.spec import RuleSpec
+
+
+def test_kill_resume_equivalence(spark, dataset, tmp_path):
+    facts = dataset["transcripts"]
+    ckpt = str(tmp_path / "ckpt")
+
+    # killed run: 2 of 4 partitions complete
+    r1 = CP.run_with_checkpoint(spark, facts, dataset, ckpt, fail_after=2)
+    assert len(r1["ran"]) == 2 and len(r1["skipped"]) == 0
+    assert len(glob.glob(f"{ckpt}/manifest/*.json")) == 2
+
+    # resume: only the remaining 2 run
+    r2 = CP.run_with_checkpoint(spark, facts, dataset, ckpt)
+    assert sorted(r2["skipped"]) == sorted(r1["ran"])
+    assert len(r2["ran"]) == 2
+    assert set(r1["ran"]) | set(r2["ran"]) == {
+        str(x[0]) for x in facts.select("ds").distinct().collect()
+    }
+
+    # third run: everything skipped
+    r3 = CP.run_with_checkpoint(spark, facts, dataset, ckpt)
+    assert r3["ran"] == [] and len(r3["skipped"]) == 4
+
+    # checkpointed results == uninterrupted in-memory run
+    loaded = CP.load_results(spark, ckpt)
+    direct = validate_transcripts(facts, dataset)
+    cmp_cols = ["conv_id", "turn_idx", "rule_id", "severity", "scope", "observed"]
+    assert (
+        loaded["violations"].select(*cmp_cols).exceptAll(direct.violations.select(*cmp_cols)).count()
+        == 0
+    )
+    assert (
+        direct.violations.select(*cmp_cols).exceptAll(loaded["violations"].select(*cmp_cols)).count()
+        == 0
+    )
+    dv = {str(r["ds"]): r for r in direct.verdicts.collect()}
+    for r in loaded["verdicts"].collect():
+        d = dv[str(r["ds"])]
+        assert (r["total_turns"], r["error_turns"], r["verdict"]) == (
+            d["total_turns"],
+            d["error_turns"],
+            d["verdict"],
+        )
+
+    # manifest carries lineage + metrics
+    for st in r3["manifest"].values():
+        assert st.status == "complete" and st.wall_sec >= 0 and st.total_turns > 0
+
+
+def test_ruleset_change_invalidates_checkpoint(spark, dataset, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    facts = dataset["transcripts"].where(F.col("ds") == F.lit("2026-01-01").cast("date"))
+    CP.run_with_checkpoint(spark, facts, dataset, ckpt)
+    r = CP.run_with_checkpoint(spark, facts, dataset, ckpt)
+    assert r["ran"] == []  # same rules -> skip
+
+    changed = transcript_scalar_rules() + [
+        RuleSpec("R_extra", "required", ("tool",), severity="warning")
+    ]
+    r2 = CP.run_with_checkpoint(spark, facts, dataset, ckpt, rules=changed)
+    assert len(r2["ran"]) == 1  # hash changed -> rerun
