@@ -1,0 +1,329 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the point of each algorithm at 100 TB):
+- exact:      one hash-aggregate on a content digest. Partial aggregation
+              makes the popular-dup skew free.
+- ngram:      inverted index (explode shingles -> equi-join on shingle)
+              with a document-frequency cap to drop stop-shingles — NEVER
+              an O(n^2) cross join. Pair scoring is one groupBy.
+- minhash:    per-doc signature via num_hashes min-aggregations over the
+              exploded shingle stream (one shuffle), banded into LSH
+              buckets, candidate pairs only within buckets, then exact
+              Jaccard verification of candidates.
+- simhash:    per-token hash bit votes aggregated per doc (one shuffle),
+              Hamming-ball candidates via band blocking.
+- embedding:  random-hyperplane LSH buckets, cosine verified in-bucket.
+
+All hashing is xxhash64/crc32 (Spark-native, JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization)
+    documents: (content_md5, n_docs, keep_id) — keep_id is the smallest id,
+    the canonical survivor."""
+    return (
+        df.select(F.md5(normalized_text(F.col(text_col))).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text."""
+    words = F.split(normalized_text(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)) ),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    # a doc shorter than n words contributes its full text as one shingle
+    return F.array_distinct(
+        F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(grams)
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold, via an
+    inverted index: explode shingles, self-equi-join on shingle with
+    id_a < id_b, count common shingles, Jaccard = c/(|A|+|B|-c).
+
+    max_df drops shingles appearing in more than max_df docs (stop-shingle
+    pruning): at corpus scale the hot shingles would otherwise create
+    quadratic candidate blowup; any pair sharing ONLY stop-shingles is not
+    a near-dup anyway. Output: (id_a, id_b, jaccard rounded 6dp)."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, on="sh", how="inner")  # shuffle join; df-capped
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="sh", how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return scored
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy with num_hashes
+    min-aggregates (all algebraic -> map-side combined)."""
+    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("id").agg(*mins)
+    return wide.select(
+        "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature, bucket-join on
+    (band_idx, band_hash), optionally verify candidates with exact
+    Jaccard (removes LSH false positives; false negatives are the usual
+    LSH probabilistic tradeoff, tuned by bands/rows).
+
+    Output: (id_a, id_b[, jaccard]) distinct."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"], how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(sh.alias("sa"), cand["id_a"] == F.col("sa.id"))
+        .join(
+            sh.alias("sb"),
+            (cand["id_b"] == F.col("sb.id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash: bigint) — per-token xxhash64 bit votes. Implemented as
+    one explode + one groupBy with `bits` signed sums (algebraic), then a
+    single bit-assembly expression."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"__b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming, via band blocking: split
+    the 64-bit hash into n_bands chunks; any pair within the Hamming ball
+    shares at least one exact chunk (pigeonhole, needs n_bands > max_hamming
+    for guarantee). Candidates verified with bit_count."""
+    sigs = simhash(df, id_col, text_col)
+    width = 64 // n_bands
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.chunk")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "chunk"], how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_cosine_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH bucket (n_planes
+    sign bits) then exact cosine within buckets. Deterministic planes from
+    a seeded RNG broadcast as literals. Output (id_a, id_b, cosine 6dp)."""
+    import numpy as np
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def dot_with(plane) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = None
+    for i in range(n_planes):
+        bit = F.when(dot_with(planes[i]) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"), norm.alias("nrm")
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        base.alias("a")
+        .join(base.alias("b"), on="bucket", how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

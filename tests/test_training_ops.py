@@ -1,0 +1,190 @@
+"""Tests for training-data pipeline operators: dedup family, ANN,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faang_pydantics_validation_spark.operators import dedup as DD
+from faang_pydantics_validation_spark.operators import multimodal as MM
+from faang_pydantics_validation_spark.operators import similarity as SIM
+from faang_pydantics_validation_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1 (after normalization)
+        (3, "THE  quick Brown fox jumps over the lazy dog again and again today"),  # normalized dup
+        (4, base.replace("today", "tomorrow")),  # near dup of 1
+        (5, "completely different words about spark and distributed query engines"),
+        (6, "le chat et le chien et le cheval dans la maison des les amis"),
+        (7, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = {r["content_md5"]: r for r in DD.exact_duplicates(docs).collect()}
+    dup_groups = [g for g in groups.values() if g["n_docs"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["n_docs"] == 3 and dup_groups[0]["keep_id"] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_ngram_jaccard_max_df_prunes(spark, docs):
+    # with max_df=1 every shared shingle is dropped -> no pairs at all
+    assert DD.ngram_jaccard_pairs(docs, threshold=0.1, max_df=1).count() == 0
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # verified-LSH jaccard values must equal the exact computation on the
+    # candidates it surfaces, and it must surface the identical pairs
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got
+    for k, v in got.items():
+        assert exact[k] == v
+
+
+def test_simhash_identical_and_different(spark, docs):
+    sigs = {r["id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]  # identical normalized text
+    assert sigs[1] != sigs[5]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(2, 3)] == 0
+    assert (1, 4) in pairs  # near dup within hamming ball
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype("float32")  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_bruteforce_topk(spark, vectors):
+    out = SIM.cosine_topk_bruteforce(vectors.where("vec_id < 3"), vectors, k=3)
+    rows = out.collect()
+    assert len(rows) == 9
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    top0 = sorted(by_q[0], key=lambda r: r["rank"])[0]
+    assert top0["corpus_id"] == 1 and top0["cosine"] > 0.99
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3]
+        assert all(r["corpus_id"] != q for r in rs)
+
+
+def test_lsh_and_ivf_recall_vs_bruteforce(spark, vectors):
+    queries = vectors.where("vec_id < 10")
+    exact = SIM.cosine_topk_bruteforce(queries, vectors, k=3).collect()
+    exact_set = {(r["query_id"], r["corpus_id"]) for r in exact}
+    # random gaussian corpora have near-orthogonal "neighbors", the hardest
+    # case for hyperplane LSH — use few planes + multiprobe and a modest bar
+    lsh = SIM.cosine_topk_lsh(queries, vectors, k=3, n_planes=4).collect()
+    lsh_set = {(r["query_id"], r["corpus_id"]) for r in lsh}
+    recall = len(exact_set & lsh_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    # the planted near-dup must be found
+    assert (0, 1) in lsh_set and (1, 0) in lsh_set
+
+    ivf = SIM.cosine_topk_ivf(queries, vectors, k=3, nlist=8, nprobe=4).collect()
+    ivf_set = {(r["query_id"], r["corpus_id"]) for r in ivf}
+    recall_ivf = len(exact_set & ivf_set) / len(exact_set)
+    assert recall_ivf >= 0.5, f"IVF recall too low: {recall_ivf}"
+    assert (0, 1) in ivf_set
+
+
+def test_embedding_cosine_dups(spark, vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in DD.embedding_cosine_dups(vectors, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+
+
+def test_quality_features(spark, docs):
+    rows = {r["doc_id"]: r for r in TX.quality_features(docs).collect()}
+    r7 = rows[7]
+    assert r7["n_chars"] == len("short text")
+    assert r7["n_words"] == 2 and r7["n_tokens"] == 2
+    assert r7["punct_ratio"] == 0.0 and r7["alpha_ratio"] < 1.0
+    r3 = rows[3]
+    assert r3["upper_ratio"] > 0  # has uppercase
+
+
+def test_language_id(spark, docs):
+    rows = {r["doc_id"]: r for r in TX.language_id(docs).collect()}
+    assert rows[1]["lang_guess"] == "en"
+    assert rows[6]["lang_guess"] == "fr"
+    assert rows[5]["marker_ratio"] >= 0
+
+
+def test_token_counts_edges(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a  b\t c"), (4, "don't stop-me now, ok?")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.quality_features(df).collect()}
+    assert rows[1]["n_words"] == 0 and rows[2]["n_words"] == 0
+    assert rows[3]["n_words"] == 3
+    # BPE-ish: don ' t stop - me now , ok ?  => 10
+    assert rows[4]["n_tokens"] == 10
+
+
+def test_fingerprint_stability(spark, docs):
+    fps = {r["doc_id"]: r for r in TX.fingerprint(docs).collect()}
+    assert fps[1]["fp_md5"] == fps[2]["fp_md5"] == fps[3]["fp_md5"]
+    assert fps[1]["fp_xx64"] == fps[2]["fp_xx64"]
+    assert fps[1]["fp_md5"] != fps[5]["fp_md5"]
+
+
+def test_multimodal_roundtrip(spark, docs):
+    media = MM.pack_fake_media(docs)
+    meta = {r["doc_id"]: r for r in MM.decode_media_meta(media).collect()}
+    for i in (1, 5, 7):
+        assert meta[i]["width"] == i % 64 + 8
+        assert meta[i]["height"] == i % 48 + 6
+        assert meta[i]["n_frames"] == i % 5 + 1
+    body = "short text".encode()
+    assert meta[7]["n_bytes"] == 16 + len(body)
+    assert meta[7]["body_sum"] == sum(body)
+
+
+def test_frame_sample(spark, docs):
+    media = MM.pack_fake_media(docs)
+    frames = MM.frame_sample(media, every=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # doc 4: n_frames = 4%5+1 = 5 -> frames 0,2,4
+    assert sorted(by_doc[4]) == [0, 2, 4]
+    # doc 5: n_frames = 1 -> frame 0
+    assert by_doc[5] == [0]
