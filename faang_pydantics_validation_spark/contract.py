@@ -1,0 +1,452 @@
+"""Driver-contract queries: each entry maps an engine operator
+(SURVEY.md §2 + training-data ops) onto the TPC-H-ish /root/testdata
+tables, with an exact ANSI-SQL (DuckDB) oracle twin.
+
+Determinism rules used throughout (so the driver's value-hash matches):
+- every float output is round(x, <=6) computed INSIDE both engines;
+- timestamps/dates in outputs are cast to string on both sides;
+- counts are BIGINT on both sides;
+- any top-k/limit is ranked with a total ordering (metric, then key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as DD
+from .operators import drift as DR
+from .operators import joins as RJ
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .operators import stats as ST
+from .operators import text as TX
+from .plans.verdicts import verdicts
+from .rules.compiler import compile_row_rules
+from .rules.spec import RuleSpec
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+EVENT_TYPES_OK = ["click", "view", "purchase"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# validation-engine core (P/X/J/G rule kinds over testdata)
+# --------------------------------------------------------------------------
+
+
+def q_rule_enum_event_type(spark, sf_dir):
+    """P4 enum membership through the rule compiler."""
+    events = _t(spark, sf_dir, "events")
+    v = compile_row_rules(
+        events,
+        [RuleSpec("R_event_type", "enum", ("event_type",), params={"values": EVENT_TYPES_OK})],
+        key_cols=("event_id",),
+        partition_col=None,
+    )
+    return v.select("event_id", "rule_id", "severity", "scope", "observed")
+
+
+def q_rule_required_props(spark, sf_dir):
+    """P1 required (no violations in this data — exercises the empty path)."""
+    events = _t(spark, sf_dir, "events")
+    v = compile_row_rules(
+        events,
+        [RuleSpec("R_props_required", "required", ("props",))],
+        key_cols=("event_id",),
+        partition_col=None,
+    )
+    return v.select("event_id", "rule_id", "severity", "scope", "observed")
+
+
+def q_rule_numeric_value_range(spark, sf_dir):
+    """P6/P7 numeric bounds; observed re-joined as rounded double to avoid
+    cross-engine float->string formatting."""
+    events = _t(spark, sf_dir, "events")
+    v = compile_row_rules(
+        events,
+        [RuleSpec("R_value_range", "numeric", ("value",), params={"min": 0, "max": 450})],
+        key_cols=("event_id",),
+        partition_col=None,
+    )
+    return v.join(events.select("event_id", "value"), "event_id").select(
+        "event_id", "rule_id", "severity", F.round("value", 2).alias("value")
+    )
+
+
+def q_rule_expr_props_k(spark, sf_dir):
+    """expr escape hatch: JSON-ish extraction, k >= 90 flagged."""
+    events = _t(spark, sf_dir, "events")
+    v = compile_row_rules(
+        events,
+        [
+            RuleSpec(
+                "R_props_k",
+                "expr",
+                ("props",),
+                params={
+                    "sql": "try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) as int) >= 90",
+                    "observed_sql": "regexp_extract(props, '\"k\": ([0-9]+)', 1)",
+                },
+                severity="warning",
+            )
+        ],
+        key_cols=("event_id",),
+        partition_col=None,
+    )
+    return v.select("event_id", "rule_id", "severity", "scope", "observed")
+
+
+def q_uniqueness_lineitem(spark, sf_dir):
+    """J10 hash-aggregate dedup counts on (l_orderkey, l_linenumber)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("l_linenumber").cast("int").alias("turn_idx"),
+    )
+    return RJ.uniqueness_rule(li, ds=False).select(
+        "conv_id", "turn_idx", "rule_id", "severity", "scope", "observed"
+    )
+
+
+def q_referential_user_supplier(spark, sf_dir):
+    """J1/J6 broadcast anti-join: event user_id must exist in supplier keys."""
+    events = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("user_id"),
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return RJ.anti_join_rule(
+        events, sup, "user_id", "s_suppkey", "R_user_known", ds=False
+    ).select("conv_id", "rule_id", "severity", "scope", "observed")
+
+
+def q_allowed_pairs_orders(spark, sf_dir):
+    """J5/J7 allowed-pairs: (mktsegment, orderpriority) against a small
+    allowed dim (broadcast anti-join on the pair)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    facts = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"), "o_custkey"
+    ).select(
+        F.col("o_orderkey").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    allowed = spark.createDataFrame(
+        [(s, p) for s in ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+         for p in ["1-URGENT", "2-HIGH", "3-MEDIUM"]],
+        "seg string, prio string",
+    )
+    return RJ.allowed_pairs_rule(
+        facts, allowed, ("seg", "prio"), ("seg", "prio"), "R_seg_prio", ds=False
+    ).select("conv_id", "rule_id", "severity", "scope", "observed")
+
+
+def q_window_rules_lineitem(spark, sf_dir):
+    """Window ordering invariants (gaps + monotonic ts) on lineitem viewed
+    as (order=conversation, linenumber=turn)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("l_linenumber").cast("int").alias("turn_idx"),
+        F.col("l_returnflag").alias("role"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    out = RJ.window_rules(li, valid_roles=["A", "N", "R"], allowed_transitions=None, ds=False)
+    return out.select(
+        "conv_id", "turn_idx", "rule_id", "severity", "scope",
+        # timestamps stringify identically in both engines
+        F.col("observed").cast("string").alias("observed"),
+    )
+
+
+def q_verdicts_events_daily(spark, sf_dir):
+    """FLAGSHIP: full verdict pipeline over events partitioned by day —
+    enum rule (error) + value-range rule (warning) -> per-partition
+    pass/fail verdict table (G1/G2 + base_validator.py:115-159 semantics)."""
+    events = _t(spark, sf_dir, "events")
+    facts = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "event_type",
+        "value",
+        F.to_date("ts").alias("ds"),
+    )
+    rules = [
+        RuleSpec("R_event_type", "enum", ("event_type",), params={"values": EVENT_TYPES_OK}),
+        RuleSpec(
+            "R_value_range", "numeric", ("value",), params={"min": 0, "max": 450},
+            severity="warning",
+        ),
+    ]
+    violations = compile_row_rules(facts, rules).select(
+        "conv_id", "turn_idx", "ds", "rule_id", "severity", "scope", "observed"
+    )
+    v = verdicts(facts, violations)
+    return v.select(
+        F.col("ds").cast("string").alias("ds"),
+        "total_turns",
+        "n_conversations",
+        "valid_turns",
+        "error_turns",
+        "warning_only_turns",
+        F.lit(0).cast("long").alias("relationship_errors"),
+        "verdict",
+    )
+
+
+def q_column_stats_orders(spark, sf_dir):
+    """G4 single-pass column profile (exactly-checkable subset: the HLL++
+    and KLL outputs are approximate by design and checked in q_approx_*)."""
+    orders = _t(spark, sf_dir, "orders").withColumn("part", F.lit("all"))
+    st = ST.column_stats(
+        orders, partition_col="part",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+    )
+    return st.select(
+        "part", "column", "n", "n_null",
+        F.round("null_rate", 6).alias("null_rate"), "min", "max",
+    )
+
+
+def q_salted_user_counts(spark, sf_dir):
+    """Explicit two-phase salted aggregation == plain groupBy counts."""
+    events = _t(spark, sf_dir, "events")
+    return ST.salted_agg(events, ["user_id"], n_salts=16).select("user_id", "n")
+
+
+def q_drift_value_halves(spark, sf_dir):
+    """Axis-B drift: KS+PSI between month-halves of events.value."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "half", F.when(F.dayofmonth("ts") <= 15, F.lit("a")).otherwise(F.lit("b"))
+    )
+    hist = DR.numeric_histogram(events, "value", partition_col="half", bins=20)
+    m = DR.drift_metrics_sql(hist, "a", "b")
+    return m.select(
+        "column", "part_a", "part_b",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("psi", 6).alias("psi"),
+        "verdict",
+    )
+
+
+def q_sessionization_events(spark, sf_dir):
+    """Window sessionization: new session when gap > 30 min; per user
+    session count + max session length (stable-ordering window analog)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    marked = events.withColumn(
+        "new_sess",
+        (
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 1800)
+        ).cast("int"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    per_sess = marked.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.max("n").alias("max_session_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H classics (agg + join demos; bench headliners)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3_shipping(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+            "rk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_duplicates(docs)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+
+
+def q_text_quality(spark, sf_dir):
+    return TX.quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    return TX.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return SIM.cosine_topk_bruteforce(emb.where("vec_id < 10"), emb, k=5)
+
+
+def q_embedding_norm_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.pack_fake_media(docs)
+    return MM.decode_media_meta(media)
+
+
+# ----- Spark-only (no SQL oracle -> driver rows-only check) ----------------
+
+
+def q_minhash_lsh_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.05)
+
+
+def q_simhash_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(docs, max_hamming=12, n_bands=4)
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return SIM.cosine_topk_ivf(emb.where("vec_id < 5"), emb, k=3, nlist=8, nprobe=4)
+
+
+def q_approx_distinct_quantiles(spark, sf_dir):
+    """HLL++/KLL sketch outputs (approximate by design — rows-only check;
+    exactness is asserted with tolerances in the pytest suite)."""
+    orders = _t(spark, sf_dir, "orders").withColumn("part", F.lit("all"))
+    st = ST.column_stats(orders, partition_col="part", columns=["o_custkey", "o_totalprice"])
+    return st.select("part", "column", "approx_distinct", "quantiles")
+
+
+def q_drift_pandas_udf(spark, sf_dir):
+    """Arrow/pandas-UDF drift twin (same numbers as q_drift_value_halves)."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "half", F.when(F.dayofmonth("ts") <= 15, F.lit("a")).otherwise(F.lit("b"))
+    )
+    hist = DR.numeric_histogram(events, "value", partition_col="half", bins=20)
+    m = DR.drift_metrics_pandas(hist, "a", "b")
+    return m.select(
+        "column", "part_a", "part_b",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("psi", 6).alias("psi"),
+        "verdict",
+    )
+
+
+QUERIES: dict[str, QueryFn] = {
+    "rule_enum_event_type": q_rule_enum_event_type,
+    "rule_required_props": q_rule_required_props,
+    "rule_numeric_value_range": q_rule_numeric_value_range,
+    "rule_expr_props_k": q_rule_expr_props_k,
+    "uniqueness_lineitem": q_uniqueness_lineitem,
+    "referential_user_supplier": q_referential_user_supplier,
+    "allowed_pairs_orders": q_allowed_pairs_orders,
+    "window_rules_lineitem": q_window_rules_lineitem,
+    "verdicts_events_daily": q_verdicts_events_daily,
+    "column_stats_orders": q_column_stats_orders,
+    "salted_user_counts": q_salted_user_counts,
+    "drift_value_halves": q_drift_value_halves,
+    "sessionization_events": q_sessionization_events,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_norm_stats": q_embedding_norm_stats,
+    "multimodal_meta": q_multimodal_meta,
+    "minhash_lsh_documents": q_minhash_lsh_documents,
+    "simhash_documents": q_simhash_documents,
+    "ann_ivf": q_ann_ivf,
+    "approx_distinct_quantiles": q_approx_distinct_quantiles,
+    "drift_pandas_udf": q_drift_pandas_udf,
+}

@@ -1,0 +1,333 @@
+"""DuckDB oracle SQL twins for contract.QUERIES.
+
+Each string is ANSI SQL over the driver's pre-registered views (region
+nation customer supplier part orders lineitem events documents
+embeddings) producing EXACTLY the same rows (names, types, values) as the
+Spark query. Floats are rounded inside both engines; counts are cast to
+BIGINT (DuckDB sums default to HUGEINT); timestamps/dates stringified.
+
+Queries with no entry here are approximate/hash-based by design
+(MinHash/SimHash/IVF/HLL/KLL) and get the driver's rows-only check; their
+exactness is covered by pytest with planted data instead.
+"""
+
+EVENT_TYPES_OK_SQL = "('click','view','purchase')"
+
+_DRIFT_SQL = """
+WITH ev AS (
+  SELECT value, CASE WHEN extract(day FROM ts) <= 15 THEN 'a' ELSE 'b' END half
+  FROM events
+),
+bounds AS (SELECT min(value) lo, max(value) hi FROM ev),
+hist AS (
+  SELECT half,
+         least(19, greatest(0, cast(floor((value - lo) / ((hi - lo) / 20.0)) AS int))) bucket,
+         count(*) cnt
+  FROM ev, bounds
+  GROUP BY 1, 2
+),
+a AS (SELECT bucket, sum(cnt) ca FROM hist WHERE half = 'a' GROUP BY 1),
+b AS (SELECT bucket, sum(cnt) cb FROM hist WHERE half = 'b' GROUP BY 1),
+ab AS (
+  SELECT coalesce(a.bucket, b.bucket) bucket, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+),
+pq AS (
+  SELECT bucket,
+         ca / (SELECT sum(ca) FROM ab)::double + 1e-6 p,
+         cb / (SELECT sum(cb) FROM ab)::double + 1e-6 q
+  FROM ab
+),
+c AS (
+  SELECT abs(sum(p) OVER (ORDER BY bucket) - sum(q) OVER (ORDER BY bucket)) cdf_diff,
+         (p - q) * ln(p / q) psi_term
+  FROM pq
+)
+SELECT 'value' AS "column", 'a' AS part_a, 'b' AS part_b,
+       round(max(cdf_diff), 6) AS ks_stat, round(sum(psi_term), 6) AS psi,
+       CASE WHEN sum(psi_term) > 0.2 OR max(cdf_diff) > 0.2 THEN 'drift' ELSE 'ok' END AS verdict
+FROM c
+"""
+
+ORACLES: dict[str, str] = {
+    "rule_enum_event_type": f"""
+        SELECT event_id, 'R_event_type' AS rule_id, 'error' AS severity,
+               'turn' AS scope, event_type AS observed
+        FROM events WHERE event_type NOT IN {EVENT_TYPES_OK_SQL}
+    """,
+    "rule_required_props": """
+        SELECT event_id, 'R_props_required' AS rule_id, 'error' AS severity,
+               'turn' AS scope, coalesce(props, '<null>') AS observed
+        FROM events WHERE props IS NULL OR trim(props) = ''
+    """,
+    "rule_numeric_value_range": """
+        SELECT event_id, 'R_value_range' AS rule_id, 'error' AS severity,
+               round(value, 2) AS value
+        FROM events WHERE value < 0 OR value > 450
+    """,
+    "rule_expr_props_k": """
+        SELECT event_id, 'R_props_k' AS rule_id, 'warning' AS severity,
+               'turn' AS scope, regexp_extract(props, '"k": ([0-9]+)', 1) AS observed
+        FROM events
+        WHERE try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS int) >= 90
+    """,
+    "uniqueness_lineitem": """
+        SELECT cast(l_orderkey AS varchar) AS conv_id, l_linenumber AS turn_idx,
+               'R_turn_unique' AS rule_id, 'error' AS severity, 'turn' AS scope,
+               cast(count(*) AS varchar) AS observed
+        FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+    """,
+    "referential_user_supplier": """
+        SELECT cast(event_id AS varchar) AS conv_id, 'R_user_known' AS rule_id,
+               'error' AS severity, 'turn' AS scope, cast(user_id AS varchar) AS observed
+        FROM events WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+    """,
+    "allowed_pairs_orders": """
+        SELECT cast(o_orderkey AS varchar) AS conv_id, 'R_seg_prio' AS rule_id,
+               'error' AS severity, 'turn' AS scope,
+               c_mktsegment || '|' || o_orderpriority AS observed
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE NOT EXISTS (
+          SELECT 1 FROM (
+            VALUES ('BUILDING'),('AUTOMOBILE'),('MACHINERY'),('HOUSEHOLD'),('FURNITURE')
+          ) s(seg), (VALUES ('1-URGENT'),('2-HIGH'),('3-MEDIUM')) p(prio)
+          WHERE s.seg = c_mktsegment AND p.prio = o_orderpriority
+        )
+    """,
+    "window_rules_lineitem": """
+        WITH w AS (
+          SELECT cast(l_orderkey AS varchar) conv_id, l_linenumber turn_idx, l_shipdate ts,
+                 lag(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate) prev_idx,
+                 lag(l_shipdate)   OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate) prev_ts
+          FROM lineitem
+        )
+        SELECT conv_id, turn_idx, 'R_turn_contiguous' AS rule_id, 'warning' AS severity,
+               'turn' AS scope,
+               cast(prev_idx AS varchar) || '->' || cast(turn_idx AS varchar) AS observed
+        FROM w WHERE prev_idx IS NOT NULL AND turn_idx > prev_idx + 1
+        UNION ALL
+        SELECT conv_id, turn_idx, 'R_ts_monotonic', 'error', 'turn', cast(ts AS varchar)
+        FROM w WHERE prev_ts IS NOT NULL AND ts < prev_ts
+    """,
+    "verdicts_events_daily": """
+        WITH f AS (
+          SELECT cast(user_id AS varchar) conv_id, event_id, event_type, value,
+                 cast(ts AS date) ds
+          FROM events
+        ),
+        v AS (
+          SELECT conv_id, event_id, ds, 1 err, 0 warn FROM f
+          WHERE event_type NOT IN ('click','view','purchase')
+          UNION ALL
+          SELECT conv_id, event_id, ds, 0, 1 FROM f WHERE value < 0 OR value > 450
+        ),
+        pt AS (SELECT ds, conv_id, event_id, max(err) he, max(warn) hw FROM v GROUP BY 1,2,3),
+        ta AS (
+          SELECT ds, sum(he) error_turns,
+                 sum(CASE WHEN hw = 1 AND he = 0 THEN 1 ELSE 0 END) warning_only_turns
+          FROM pt GROUP BY 1
+        ),
+        tot AS (SELECT ds, count(*) total_turns, count(DISTINCT conv_id) n_conversations FROM f GROUP BY 1)
+        SELECT cast(tot.ds AS varchar) ds,
+               cast(total_turns AS bigint) total_turns,
+               cast(n_conversations AS bigint) n_conversations,
+               cast(total_turns - coalesce(error_turns, 0) AS bigint) valid_turns,
+               cast(coalesce(error_turns, 0) AS bigint) error_turns,
+               cast(coalesce(warning_only_turns, 0) AS bigint) warning_only_turns,
+               cast(0 AS bigint) relationship_errors,
+               CASE WHEN coalesce(error_turns, 0) > 0 THEN 'fail'
+                    WHEN coalesce(warning_only_turns, 0) > 0 THEN 'pass_with_warnings'
+                    ELSE 'pass' END verdict
+        FROM tot LEFT JOIN ta ON tot.ds = ta.ds
+    """,
+    "column_stats_orders": """
+        SELECT 'all' AS part, 'o_orderkey' AS "column", cast(count(*) AS bigint) n,
+               cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) n_null,
+               round(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) / count(*)::double, 6) null_rate,
+               cast(min(o_orderkey) AS varchar) min, cast(max(o_orderkey) AS varchar) max
+        FROM orders
+        UNION ALL
+        SELECT 'all', 'o_orderstatus', cast(count(*) AS bigint),
+               cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS bigint),
+               round(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) / count(*)::double, 6),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'all', 'o_orderdate', cast(count(*) AS bigint),
+               cast(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS bigint),
+               round(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) / count(*)::double, 6),
+               cast(min(o_orderdate) AS varchar), cast(max(o_orderdate) AS varchar)
+        FROM orders
+        UNION ALL
+        SELECT 'all', 'o_orderpriority', cast(count(*) AS bigint),
+               cast(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS bigint),
+               round(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) / count(*)::double, 6),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    "salted_user_counts": """
+        SELECT user_id, cast(count(*) AS bigint) AS n FROM events GROUP BY 1
+    """,
+    "drift_value_halves": _DRIFT_SQL,
+    "drift_pandas_udf": _DRIFT_SQL,
+    "sessionization_events": """
+        WITH w AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) > 1800
+                      THEN 1 ELSE 0 END new_sess
+          FROM w
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) sess_id
+          FROM m
+        ),
+        ps AS (SELECT user_id, sess_id, count(*) n FROM s GROUP BY 1, 2)
+        SELECT user_id, cast(count(*) AS bigint) n_sessions,
+               cast(max(n) AS bigint) max_session_events
+        FROM ps GROUP BY 1
+    """,
+    "tpch_q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) sum_qty,
+               round(sum(l_extendedprice), 2) sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) sum_disc_price,
+               round(avg(l_quantity), 4) avg_qty,
+               round(avg(l_discount), 4) avg_disc,
+               cast(count(*) AS bigint) count_order
+        FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "tpch_q3_shipping": """
+        WITH j AS (
+          SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < timestamp '1995-03-15'
+            AND l_shipdate > timestamp '1995-03-15'
+          GROUP BY 1, 2, 3
+        )
+        SELECT l_orderkey, cast(o_orderdate AS varchar) o_orderdate, o_orderpriority,
+               revenue, cast(rk AS int) rk
+        FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) rk FROM j)
+        WHERE rk <= 10
+    """,
+    "dedup_exact_documents": r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) content_md5,
+               cast(count(*) AS bigint) n_docs, min(doc_id) keep_id
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": r"""
+        WITH norm AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+          FROM documents
+        ),
+        words AS (SELECT doc_id, string_split(t, ' ') ws FROM norm),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                      ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END sh
+          FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) i
+                FROM words)
+        ),
+        sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(common / (sa.sz + sb.sz - common)::double, 6) jaccard
+        FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(common / (sa.sz + sb.sz - common)::double, 6) >= 0.05
+    """,
+    "text_quality": r"""
+        WITH b AS (
+          SELECT doc_id, text, len(text) n_chars,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END n_words,
+                 len(regexp_replace(text, '[^A-Za-z]', '', 'g')) n_alpha
+          FROM documents
+        )
+        SELECT doc_id, cast(n_chars AS int) n_chars, cast(n_words AS int) n_words,
+               cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS int) n_tokens,
+               round(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) / greatest(n_chars, 1)::double, 6) punct_ratio,
+               round(n_alpha / greatest(n_chars, 1)::double, 6) alpha_ratio,
+               round(len(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(n_alpha, 1)::double, 6) upper_ratio,
+               round((n_chars - n_words + 1) / greatest(n_words, 1)::double, 6) mean_word_len
+        FROM b
+    """,
+    "text_langid": r"""
+        WITH norm AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = '' THEN []::varchar[]
+                      ELSE string_split_regex(trim(lower(text)), '\s+') END ws
+          FROM documents
+        ),
+        scores AS (
+          SELECT doc_id, s.lang, s.tb,
+                 len(list_filter(ws, w -> list_contains(s.markers, w))) hits
+          FROM norm, (VALUES
+            ('de', ['der','die','und','das','ein','nicht'], 3),
+            ('en', ['the','a','of','and','to','is'], 2),
+            ('es', ['el','la','los','que','una','es'], 1),
+            ('fr', ['le','la','et','les','des','une'], 0)) s(lang, markers, tb)
+        ),
+        best AS (
+          SELECT doc_id, lang, hits,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, tb DESC) rn
+          FROM scores
+        ),
+        nw AS (SELECT doc_id, greatest(len(ws), 1) nwords FROM norm)
+        SELECT b.doc_id,
+               CASE WHEN hits > 0 THEN lang ELSE 'und' END lang_guess,
+               round(hits / nwords::double, 6) marker_ratio
+        FROM best b JOIN nw ON b.doc_id = nw.doc_id WHERE rn = 1
+    """,
+    "text_fingerprint": r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp_md5
+        FROM documents
+    """,
+    "ann_cosine_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 10),
+        s AS (
+          SELECT query_id, e.vec_id corpus_id,
+                 round(list_dot_product(qv, v)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) cosine
+          FROM q, e WHERE e.vec_id != query_id
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) rank FROM s)
+        SELECT query_id, corpus_id, cosine, cast(rank AS int) rank FROM r WHERE rank <= 5
+    """,
+    "embedding_norm_stats": """
+        WITH e AS (
+          SELECT label,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+          FROM embeddings
+        )
+        SELECT label, cast(count(*) AS bigint) n,
+               round(min(nrm), 4) min_norm, round(max(nrm), 4) max_norm,
+               round(avg(nrm), 4) avg_norm
+        FROM e GROUP BY label
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               cast(16 + octet_length(encode(text)) AS int) n_bytes,
+               cast(doc_id % 64 + 8 AS int) width,
+               cast(doc_id % 48 + 6 AS int) height,
+               cast(doc_id % 5 + 1 AS int) n_frames,
+               cast(list_sum(list_transform(range(1, len(text) + 1),
+                                            i -> ord(substr(text, i, 1)))) AS bigint) body_sum
+        FROM documents
+    """,
+}

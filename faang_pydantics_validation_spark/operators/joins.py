@@ -57,7 +57,7 @@ def anti_join_rule(
         v = norm_term_colon(v)
     probe = facts.where(F.col(fact_col).isNotNull())
     if skip_sentinels:
-        probe = probe.where(~F.col(fact_col).isin(SENTINELS))
+        probe = probe.where(~F.col(fact_col).cast("string").isin(SENTINELS))
     probe = probe.withColumn("__k", v)
     missing = probe.join(
         F.broadcast(dim.select(F.col(dim_col).alias("__k")).distinct()),
@@ -117,7 +117,10 @@ def label_match_rule(
     if normalize_term:
         v = norm_term_colon(v)
     probe = (
-        facts.where(F.col(fact_col).isNotNull() & ~F.col(fact_col).isin(SENTINELS))
+        facts.where(
+            F.col(fact_col).isNotNull()
+            & ~F.col(fact_col).cast("string").isin(SENTINELS)
+        )
         .withColumn("__k", v)
         .withColumn("__obs", observed_col)
     )
