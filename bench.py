@@ -1,0 +1,104 @@
+"""Per-round benchmark (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the transcript-validation throughput over
+a cached synthetic dataset. Prints ONE JSON line:
+    {"metric": ..., "value": <total headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from faang_pydantics_validation_spark.contract import QUERIES  # noqa: E402
+from faang_pydantics_validation_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "verdicts_events_daily",
+    "uniqueness_lineitem",
+    "window_rules_lineitem",
+    "column_stats_orders",
+    "drift_value_halves",
+    "sessionization_events",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "dedup_ngram_jaccard",
+    "minhash_lsh_documents",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench_transcripts")
+BENCH_GEN_KWARGS = dict(n_convs=400000, base_turns=20, hot_mult=25, seed=42, n_days=4)
+
+
+def _force(df) -> int:
+    """Execute fully without driver-side materialization cost."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def ensure_bench_transcripts(spark) -> str:
+    marker = os.path.join(BENCH_DATA_DIR, "_SUCCESS_GEN")
+    if not os.path.exists(marker):
+        from faang_pydantics_validation_spark.datagen import write_dataset
+
+        write_dataset(spark, BENCH_DATA_DIR, **BENCH_GEN_KWARGS)
+        with open(marker, "w") as f:
+            f.write(json.dumps(BENCH_GEN_KWARGS))
+    return BENCH_DATA_DIR
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # transcript validation throughput (the BASELINE.json metric)
+    data_dir = ensure_bench_transcripts(spark)
+    from faang_pydantics_validation_spark.plans.fused import validate_transcripts_fused as validate_transcripts
+
+    facts = spark.read.parquet(f"{data_dir}/transcripts")
+    dims = {
+        n: spark.read.parquet(f"{data_dir}/{n}")
+        for n in ("dim_roles", "dim_tools", "dim_conversations", "allowed_transitions")
+    }
+    n_turns = facts.count()
+    t0 = time.time()
+    res = validate_transcripts(facts, dims, persist_violations=True)
+    _force(res.violations)
+    res.verdicts.collect()
+    val_wall = time.time() - t0
+    timings["transcript_validation"] = round(val_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_turns": n_turns,
+                "turns_per_sec": round(n_turns / val_wall, 1),
+                "cores": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

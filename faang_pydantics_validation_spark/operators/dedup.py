@@ -54,10 +54,21 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, persist: bool = False
+) -> DataFrame:
+    """Exploded (id, shingle) table. persist=True materializes it once —
+    the self-join and signature passes otherwise recompute the tokenize+
+    explode lineage per reuse (at cluster scale this would be a checkpoint
+    to a scratch table; MEMORY_AND_DISK is the local analog)."""
+    sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
 
 
 def ngram_jaccard_pairs(
@@ -76,7 +87,7 @@ def ngram_jaccard_pairs(
     pruning): at corpus scale the hot shingles would otherwise create
     quadratic candidate blowup; any pair sharing ONLY stop-shingles is not
     a near-dup anyway. Output: (id_a, id_b, jaccard rounded 6dp)."""
-    sh = _shingle_table(df, id_col, text_col, n)
+    sh = _shingle_table(df, id_col, text_col, n, persist=True)
     if max_df is not None:
         rare = (
             sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -117,7 +128,7 @@ def minhash_signatures(
     """(id, sig: array<bigint>) — sig[i] = min over shingles of
     xxhash64(shingle, seed=i). One explode + one groupBy with num_hashes
     min-aggregates (all algebraic -> map-side combined)."""
-    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    sh = _shingle_table(df, id_col, text_col, shingle_n, persist=True)
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
     ]
@@ -170,7 +181,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    sh = _shingle_table(df, id_col, text_col, shingle_n, persist=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         cand.join(sh.alias("sa"), cand["id_a"] == F.col("sa.id"))

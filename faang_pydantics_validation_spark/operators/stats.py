@@ -33,6 +33,7 @@ def column_stats(
     columns: list[str] | None = None,
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
     rsd: float = 0.02,
+    accuracy: int = 1000,
 ) -> DataFrame:
     """Output: (partition, column, n, n_null, null_rate, min, max,
     approx_distinct, quantiles:array<double>) — one row per column per
@@ -51,7 +52,7 @@ def column_stats(
         if is_num:
             aggs.append(
                 F.percentile_approx(
-                    F.col(c).cast("double"), list(quantiles), 10000
+                    F.col(c).cast("double"), list(quantiles), accuracy
                 ).alias(f"__q__{c}")
             )
         else:

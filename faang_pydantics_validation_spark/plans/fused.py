@@ -1,0 +1,214 @@
+"""Fused validation pipeline: the whole rule suite in ONE pass over the
+fact table with ONE fact-sized shuffle.
+
+Plan shape (what .explain shows):
+    scan -> exchange hashpartitioning(conv_id) -> sort(conv_id, turn_idx, ts)
+         -> window lags (prev_idx/prev_ts/prev_role)
+         -> window count over (conv_id, turn_idx)       [uniqueness — same
+            exchange reused: HashPartitioning(conv_id) satisfies the
+            ClusteredDistribution of the (conv_id, turn_idx) window]
+         -> broadcast joins (dim_tools x2: existence + label)
+         -> ONE wide projection: every rule -> struct-or-null, packed array
+         -> violations: filter size>0 + explode        (no further shuffle)
+         -> verdicts:   per-row flags -> groupBy(ds)   (partial-agg shuffle
+                        of a few KB per task)
+Conversation-existence (J6) rides the same pass: the first row of each
+conversation (row_number()==1 — free under the same window sort) is
+broadcast-anti-joined against dim_conversations.
+
+Versus plans.pipeline (the composable per-operator path, kept for clarity
+and used by the unit tests): same outputs (asserted equal in
+tests/test_fused.py), ~6x fewer jobs/stages. At 10^12 turns this is the
+difference between one shuffle of the fact table and three.
+
+The window partition key is conv_id, so a hot conversation lands on one
+task; turns/conversation is bounded (~10^4) while partitions hold ~10^7
+rows, so the imbalance is capped at per-task granularity, and AQE
+skew-split handles pathological file layouts. The verdict aggregation
+keys on ds with map-side partial aggregation — hot partitions cost no
+extra shuffle volume (the built-in equivalent of key salting for
+algebraic aggregates; see operators/stats.salted_agg for the explicit
+two-phase pattern where holistic state is involved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..rules.compiler import rule_to_struct, _VIOLATION_STRUCT
+from ..rules.library import norm_term_colon
+from ..rules.spec import RuleSpec, SENTINELS
+from . import rulesets
+from .pipeline import VIOLATION_COLS, ValidationResult
+from .verdicts import verdicts
+
+
+def _vstruct(rule_id: str, severity: str, observed: Column) -> Column:
+    return F.struct(
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(severity).alias("severity"),
+        observed.cast("string").alias("observed"),
+    )
+
+
+def validate_transcripts_fused(
+    facts: DataFrame,
+    dims: dict[str, DataFrame],
+    scalar_rules: list[RuleSpec] | None = None,
+    partition_col: str = "ds",
+    valid_roles: list[str] | None = None,
+    persist_violations: bool = False,
+) -> ValidationResult:
+    if scalar_rules is None:
+        scalar_rules = rulesets.transcript_scalar_rules()
+    if valid_roles is None:
+        from ..datagen import ROLES
+
+        valid_roles = ROLES
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    w_key = Window.partitionBy("conv_id", "turn_idx")
+    w_key_rn = Window.partitionBy("conv_id", "turn_idx").orderBy("ts")
+
+    # One explicit hash exchange on conv_id: HashPartitioning(conv_id)
+    # satisfies the ClusteredDistribution of every window spec below
+    # (conv_id is a subset of each partition key), so no further
+    # fact-sized shuffle is planned.
+    rfacts = facts.repartition("conv_id")
+    anno = rfacts.select(
+        "conv_id",
+        "turn_idx",
+        partition_col,
+        "role",
+        "text",
+        "tool",
+        "ts",
+        F.lag("turn_idx").over(w).alias("__prev_idx"),
+        F.lag("ts").over(w).alias("__prev_ts"),
+        F.lag("role").over(w).alias("__prev_role"),
+        F.count(F.lit(1)).over(w_key).alias("__key_cnt"),
+        F.row_number().over(w_key_rn).alias("__key_rn"),
+    )
+
+    # broadcast dim joins ride the shuffled stream (no extra exchange)
+    tool_norm = norm_term_colon(F.col("tool").cast("string"))
+    joinable = F.col("tool").isNotNull() & ~F.col("tool").cast("string").isin(SENTINELS)
+    anno = anno.withColumn("__tool_k", F.when(joinable, tool_norm))
+    if "dim_tools" in dims:
+        dim_tools = F.broadcast(
+            dims["dim_tools"].select(
+                F.col("tool_id").alias("__tool_k"),
+                F.col("label").alias("__tool_label"),
+                F.lit(True).alias("__tool_known"),
+            )
+        )
+        anno = anno.join(dim_tools, on="__tool_k", how="left")
+    else:
+        anno = anno.withColumn("__tool_label", F.lit(None).cast("string")).withColumn(
+            "__tool_known", F.lit(None).cast("boolean")
+        )
+
+    structs: list[Column] = [rule_to_struct(r) for r in scalar_rules]
+
+    # J1 tool existence: left-join miss == anti-join hit
+    structs.append(
+        F.when(
+            F.col("__tool_k").isNotNull() & F.col("__tool_known").isNull(),
+            _vstruct("R_tool_exists", "error", F.col("tool")),
+        )
+    )
+    # J3 label match (warning): payload = 3rd ':'-segment of text
+    payload = F.get(F.split(F.col("text"), ":"), 2)
+    structs.append(
+        F.when(
+            F.col("__tool_label").isNotNull()
+            & payload.isNotNull()
+            & (F.lower(payload) != F.lower(F.col("__tool_label"))),
+            _vstruct("R_tool_label", "warning", payload),
+        )
+    )
+    # J10 uniqueness: emitted once per duplicated key (on its first row)
+    structs.append(
+        F.when(
+            (F.col("__key_cnt") > 1) & (F.col("__key_rn") == 1),
+            _vstruct("R_turn_unique", "error", F.col("__key_cnt")),
+        )
+    )
+    # window rules: contiguity gap (warning), ts monotonic (error)
+    structs.append(
+        F.when(
+            F.col("__prev_idx").isNotNull() & (F.col("turn_idx") > F.col("__prev_idx") + 1),
+            _vstruct(
+                "R_turn_contiguous",
+                "warning",
+                F.concat(
+                    F.col("__prev_idx").cast("string"), F.lit("->"), F.col("turn_idx").cast("string")
+                ),
+            ),
+        )
+    )
+    structs.append(
+        F.when(
+            F.col("__prev_ts").isNotNull() & (F.col("ts") < F.col("__prev_ts")),
+            _vstruct("R_ts_monotonic", "error", F.col("ts")),
+        )
+    )
+    # role transitions against the (tiny, plan-time-collected) allowed dim
+    if "allowed_transitions" in dims:
+        allowed = [
+            f"{r['prev_role']}->{r['role']}" for r in dims["allowed_transitions"].collect()
+        ]
+        trans = F.concat(F.col("__prev_role"), F.lit("->"), F.col("role"))
+        contiguous = F.col("turn_idx") == F.col("__prev_idx") + 1
+        known = F.col("role").isin(valid_roles) & F.col("__prev_role").isin(valid_roles)
+        structs.append(
+            F.when(
+                contiguous & known & ~trans.isin(allowed),
+                _vstruct("R_role_transition", "error", trans),
+            )
+        )
+
+    packed = F.filter(
+        F.array(*[s.cast(_VIOLATION_STRUCT) for s in structs]), lambda x: x.isNotNull()
+    )
+    wide = anno.select(
+        "conv_id",
+        "turn_idx",
+        partition_col,
+        packed.alias("__v"),
+    )
+
+    turn_violations = (
+        wide.where(F.size("__v") > 0)
+        .select("conv_id", "turn_idx", partition_col, F.explode("__v").alias("v"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            partition_col,
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.severity").alias("severity"),
+            F.lit("turn").alias("scope"),
+            F.col("v.observed").alias("observed"),
+        )
+    )
+
+    violations = turn_violations.select(*VIOLATION_COLS)
+    if "dim_conversations" in dims:
+        # J6 rides its own map-side-combined distinct over the raw scan —
+        # post-combine volume is one row per conversation, NOT fact-sized
+        from ..operators.joins import conv_exists_rule
+
+        violations = violations.unionByName(
+            conv_exists_rule(facts, dims["dim_conversations"]).select(*VIOLATION_COLS)
+        )
+
+    if persist_violations:
+        from pyspark import StorageLevel
+
+        violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # verdicts aggregate the (small) violations + a plain facts scan —
+    # the window pass is never executed twice
+    verdict_df = verdicts(facts, violations, partition_col=partition_col)
+    return ValidationResult(violations=violations, verdicts=verdict_df, facts=facts)

@@ -53,8 +53,14 @@ def validate_transcripts(
     dims: dict[str, DataFrame],
     scalar_rules: list[RuleSpec] | None = None,
     partition_col: str = "ds",
+    persist_violations: bool = False,
 ) -> ValidationResult:
-    """Run the full rule suite over a transcripts DataFrame."""
+    """Run the full rule suite over a transcripts DataFrame.
+
+    persist_violations=True materializes the violation rows once so the
+    verdict aggregation (and any later consumer) doesn't recompute the
+    whole rule suite — the in-memory analog of the checkpoint writer's
+    write-then-aggregate (plans/checkpoint.py)."""
     if scalar_rules is None:
         scalar_rules = rulesets.transcript_scalar_rules()
 
@@ -98,6 +104,10 @@ def validate_transcripts(
     violations = parts[0]
     for p in parts[1:]:
         violations = violations.unionByName(p)
+    if persist_violations:
+        from pyspark import StorageLevel
+
+        violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
 
     v = verdicts(facts, violations, partition_col=partition_col)
     return ValidationResult(violations=violations, verdicts=v, facts=facts)
