@@ -1,0 +1,85 @@
+"""Streaming == batch equivalence for the incremental validation layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from faang_pydantics_validation_spark.datagen import (
+    ALLOWED_TRANSITIONS,
+    ROLES,
+    write_dataset,
+)
+from faang_pydantics_validation_spark.operators.joins import window_rules
+from faang_pydantics_validation_spark.plans.rulesets import transcript_scalar_rules
+from faang_pydantics_validation_spark.rules.compiler import compile_row_rules
+from faang_pydantics_validation_spark.streaming import incremental as S
+
+CMP = ["conv_id", "turn_idx", "rule_id", "severity", "scope", "observed"]
+
+
+def _setup(spark, tmp_path):
+    data_dir = str(tmp_path / "stream_data")
+    write_dataset(spark, data_dir, n_convs=80, base_turns=12, hot_mult=5, seed=9)
+    return data_dir
+
+
+def test_stream_scalar_equals_batch(spark, tmp_path):
+    data_dir = _setup(spark, tmp_path)
+    rules = transcript_scalar_rules()
+    stream = S.read_transcript_stream(spark, data_dir)
+    out = str(tmp_path / "out_scalar")
+    S.run_available_now(
+        S.stream_scalar_violations(stream, rules), str(tmp_path / "ck1"), out
+    )
+    got = spark.read.parquet(out).select(*CMP)
+    batch = spark.read.parquet(f"{data_dir}/transcripts")
+    want = compile_row_rules(batch, rules).select(*CMP)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert want.count() > 0
+
+
+def test_stateful_ordering_equals_batch_window_rules(spark, tmp_path):
+    data_dir = _setup(spark, tmp_path)
+    stream = S.read_transcript_stream(spark, data_dir, max_files_per_trigger=3)
+    out = str(tmp_path / "out_state")
+    S.run_available_now(
+        S.stream_ordering_violations(stream, ALLOWED_TRANSITIONS, ROLES),
+        str(tmp_path / "ck2"),
+        out,
+    )
+    got = spark.read.parquet(out).select(*CMP)
+    batch = spark.read.parquet(f"{data_dir}/transcripts")
+    allowed = spark.createDataFrame(ALLOWED_TRANSITIONS, "prev_role string, role string")
+    want = window_rules(batch, ROLES, allowed, ds=False).select(*CMP)
+    assert got.exceptAll(want).count() == 0, "stream emitted extra violations"
+    assert want.exceptAll(got).count() == 0, "stream missed violations"
+    assert want.count() > 0
+
+
+def test_windowed_verdicts_stream(spark, tmp_path):
+    data_dir = _setup(spark, tmp_path)
+    rules = transcript_scalar_rules()
+    stream = S.read_transcript_stream(spark, data_dir)
+    S.run_available_now_memory(
+        S.stream_windowed_verdicts(stream, rules, window="1 hour", watermark="2 hours"),
+        "verdict_stream",
+        mode="update",
+    )
+    got = spark.table("verdict_stream")
+    batch = spark.read.parquet(f"{data_dir}/transcripts")
+    total_stream = got.agg(F.sum("total_turns")).first()[0]
+    assert total_stream == batch.count()
+    per_ds_stream = {
+        str(r["ds"]): r["errs"]
+        for r in got.groupBy("ds").agg(F.sum("error_turns").alias("errs")).collect()
+    }
+    arr_errors = compile_row_rules(batch, rules).where(F.col("severity") == "error")
+    per_ds_batch = {
+        str(r["ds"]): r["errs"]
+        for r in arr_errors.groupBy("ds")
+        .agg(F.countDistinct("conv_id", "turn_idx").alias("errs"))
+        .collect()
+    }
+    for ds, n in per_ds_batch.items():
+        assert per_ds_stream.get(ds, 0) == n, (ds, per_ds_stream.get(ds), n)
