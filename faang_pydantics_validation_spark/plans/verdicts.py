@@ -66,6 +66,62 @@ def verdicts(
     )
 
 
+def verdict_rollup(verdict_df: DataFrame, partition_col: str = "ds") -> DataFrame:
+    """G2: grand-total rollup across partitions — the analog of
+    unified_validator.py:199-205,224-231 total_summary. One row."""
+    return verdict_df.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("total_turns").alias("total_turns"),
+        F.sum("n_conversations").alias("n_conversations"),
+        F.sum("valid_turns").alias("valid_turns"),
+        F.sum("error_turns").alias("error_turns"),
+        F.sum("warning_only_turns").alias("warning_only_turns"),
+        F.sum("relationship_errors").alias("relationship_errors"),
+        F.sum((F.col("verdict") == "fail").cast("long")).alias("failed_partitions"),
+    )
+
+
+def write_results_json(
+    path: str,
+    verdict_df: DataFrame,
+    violations: DataFrame,
+    max_violation_rows: int = 10000,
+) -> None:
+    """S5 analog: dump {summary, verdicts, violations, report} to one JSON
+    file (main.py:79-87 writes validation_results.json). Violations are
+    capped — at 10^12-turn scale the full violation set lives in the
+    parquet sink (checkpoint.py), not in a driver-side JSON."""
+    import json
+
+    verdict_rows = [
+        {**r.asDict(), "ds": str(r["ds"])} for r in verdict_df.orderBy("ds").collect()
+    ]
+    rollup = verdict_rollup(verdict_df).first().asDict()
+    rule_counts = [
+        r.asDict()
+        for r in violations.groupBy("rule_id", "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "rule_id")
+        .collect()
+    ]
+    vio_rows = [
+        {**r.asDict(), "ds": str(r["ds"])}
+        for r in violations.orderBy("conv_id", "turn_idx", "rule_id")
+        .limit(max_violation_rows)
+        .collect()
+    ]
+    payload = {
+        "total_summary": rollup,
+        "verdicts": verdict_rows,
+        "violations_by_rule": rule_counts,
+        "violations": vio_rows,
+        "violations_truncated": len(vio_rows) >= max_violation_rows,
+        "report": render_report(verdict_rows, rule_counts),
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+
+
 def render_report(verdict_rows: list, rule_counts: list) -> str:
     """Human report over the (small, collected) verdict table — the analog
     of base_validator.py:196-267's per-type report. Driver-side string
