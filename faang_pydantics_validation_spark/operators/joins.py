@@ -248,6 +248,126 @@ def window_rules(
     return out
 
 
+def window_rules_salted(
+    facts: DataFrame,
+    valid_roles: list[str],
+    allowed_transitions: DataFrame | None = None,
+    ds: bool = True,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Skew-proof variant of window_rules (north_rule: 'skew in hot
+    conversations handled by key salting').
+
+    The lag-based ordering rules only ever look ONE row back, so a
+    conversation can be split into contiguous turn-ranges
+    (salt = turn_idx div chunk) and each range evaluated independently
+    after shuffling on (conv_id, salt) — a 10^6-turn hot conversation
+    spreads over turns/chunk tasks instead of one. Rows on chunk
+    boundaries miss their lag; a second pass evaluates ONLY the boundary
+    pairs (2 rows per chunk per conversation — metadata-sized), stitched
+    in with exactly the same expressions. Result is row-identical to the
+    unsalted window (asserted in tests).
+    """
+    salt = F.floor(F.col("turn_idx") / chunk).alias("__salt")
+    w = Window.partitionBy("conv_id", "__salt").orderBy("turn_idx", "ts")
+    keys = ["conv_id", "turn_idx"] + (["ds"] if ds else [])
+    salted = facts.withColumn("__salt", salt)
+    anno = salted.select(
+        *keys,
+        "role",
+        "ts",
+        "__salt",
+        F.lag("turn_idx").over(w).alias("__prev_idx"),
+        F.lag("ts").over(w).alias("__prev_ts"),
+        F.lag("role").over(w).alias("__prev_role"),
+        F.row_number().over(w).alias("__rn"),
+    )
+
+    # boundary stitching: each chunk's first row needs the last row of the
+    # PREVIOUS NON-EMPTY chunk (a gap can swallow whole chunks). Build the
+    # per-chunk summary (one row per (conv, chunk) — metadata-sized), lag
+    # it over chunk order, and join back to the chunk-first rows.
+    w_desc = Window.partitionBy("conv_id", "__salt").orderBy(
+        F.desc("turn_idx"), F.desc("ts")
+    )
+    w_chunks = Window.partitionBy("conv_id").orderBy("__salt")
+    lasts = (
+        salted.withColumn("__rnd", F.row_number().over(w_desc))
+        .where(F.col("__rnd") == 1)
+        .select(
+            "conv_id",
+            "__salt",
+            F.lag("turn_idx").over(w_chunks).alias("__b_prev_idx"),
+            F.lag("ts").over(w_chunks).alias("__b_prev_ts"),
+            F.lag("role").over(w_chunks).alias("__b_prev_role"),
+        )
+        .where(F.col("__b_prev_idx").isNotNull())
+    )
+    firsts = anno.where(F.col("__rn") == 1).join(lasts, on=["conv_id", "__salt"], how="inner")
+    boundary = firsts.select(
+        *keys,
+        "role",
+        "ts",
+        F.col("__b_prev_idx").alias("__prev_idx"),
+        F.col("__b_prev_ts").alias("__prev_ts"),
+        F.col("__b_prev_role").alias("__prev_role"),
+    )
+    full = anno.drop("__salt", "__rn").unionByName(boundary)
+    return _window_rule_emitters(full, valid_roles, allowed_transitions, ds)
+
+
+def _window_rule_emitters(
+    anno: DataFrame,
+    valid_roles: list[str],
+    allowed_transitions: DataFrame | None,
+    ds: bool,
+) -> DataFrame:
+    """Shared rule expressions over an annotated (prev_idx/prev_ts/
+    prev_role) frame — used by both the plain and salted window paths."""
+    contiguous = F.col("turn_idx") == F.col("__prev_idx") + 1
+    gaps = _emit(
+        anno.where(
+            F.col("__prev_idx").isNotNull() & (F.col("turn_idx") > F.col("__prev_idx") + 1)
+        ),
+        "R_turn_contiguous",
+        "warning",
+        "turn",
+        F.concat(F.col("__prev_idx").cast("string"), F.lit("->"), F.col("turn_idx").cast("string")),
+        ds,
+    )
+    nonmono = _emit(
+        anno.where(F.col("__prev_ts").isNotNull() & (F.col("ts") < F.col("__prev_ts"))),
+        "R_ts_monotonic",
+        "error",
+        "turn",
+        F.col("ts"),
+        ds,
+    )
+    out = gaps.unionByName(nonmono)
+    if allowed_transitions is not None:
+        known = F.col("role").isin(valid_roles) & F.col("__prev_role").isin(valid_roles)
+        cand = anno.where(contiguous & known).withColumn("__prev_role2", F.col("__prev_role"))
+        bad = cand.join(
+            F.broadcast(
+                allowed_transitions.select(
+                    F.col("prev_role").alias("__prev_role2"), F.col("role")
+                )
+            ),
+            on=["__prev_role2", "role"],
+            how="left_anti",
+        )
+        trans = _emit(
+            bad,
+            "R_role_transition",
+            "error",
+            "turn",
+            F.concat(F.col("__prev_role2"), F.lit("->"), F.col("role")),
+            ds,
+        )
+        out = out.unionByName(trans)
+    return out
+
+
 def self_join_parent_match(
     entities: DataFrame,
     id_col: str,
