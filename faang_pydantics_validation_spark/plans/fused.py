@@ -67,34 +67,18 @@ def validate_transcripts_fused(
 
         valid_roles = ROLES
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
-    w_key = Window.partitionBy("conv_id", "turn_idx")
-    w_key_rn = Window.partitionBy("conv_id", "turn_idx").orderBy("ts")
+    # ---- pre-shuffle phase: everything per-row happens on the scan side -
+    # scalar rules, the broadcast dim joins (J1/J3), and the label payload
+    # are all row-local, so they are evaluated BEFORE the exchange and only
+    # the packed violation array crosses the wire. The shuffle then carries
+    # (conv_id, turn_idx, ds, role, ts, array) — the fat text/tool columns
+    # never leave the scan stage. At 100 TB this is the difference between
+    # shuffling the corpus and shuffling ~1/4 of it.
+    pre_structs: list[Column] = [rule_to_struct(r) for r in scalar_rules]
 
-    # One explicit hash exchange on conv_id: HashPartitioning(conv_id)
-    # satisfies the ClusteredDistribution of every window spec below
-    # (conv_id is a subset of each partition key), so no further
-    # fact-sized shuffle is planned.
-    rfacts = facts.repartition("conv_id")
-    anno = rfacts.select(
-        "conv_id",
-        "turn_idx",
-        partition_col,
-        "role",
-        "text",
-        "tool",
-        "ts",
-        F.lag("turn_idx").over(w).alias("__prev_idx"),
-        F.lag("ts").over(w).alias("__prev_ts"),
-        F.lag("role").over(w).alias("__prev_role"),
-        F.count(F.lit(1)).over(w_key).alias("__key_cnt"),
-        F.row_number().over(w_key_rn).alias("__key_rn"),
-    )
-
-    # broadcast dim joins ride the shuffled stream (no extra exchange)
     tool_norm = norm_term_colon(F.col("tool").cast("string"))
     joinable = F.col("tool").isNotNull() & ~F.col("tool").cast("string").isin(SENTINELS)
-    anno = anno.withColumn("__tool_k", F.when(joinable, tool_norm))
+    pre = facts.withColumn("__tool_k", F.when(joinable, tool_norm))
     if "dim_tools" in dims:
         dim_tools = F.broadcast(
             dims["dim_tools"].select(
@@ -103,31 +87,52 @@ def validate_transcripts_fused(
                 F.lit(True).alias("__tool_known"),
             )
         )
-        anno = anno.join(dim_tools, on="__tool_k", how="left")
-    else:
-        anno = anno.withColumn("__tool_label", F.lit(None).cast("string")).withColumn(
-            "__tool_known", F.lit(None).cast("boolean")
+        pre = pre.join(dim_tools, on="__tool_k", how="left")
+        # J1 tool existence: left-join miss == anti-join hit
+        pre_structs.append(
+            F.when(
+                F.col("__tool_k").isNotNull() & F.col("__tool_known").isNull(),
+                _vstruct("R_tool_exists", "error", F.col("tool")),
+            )
         )
-
-    structs: list[Column] = [rule_to_struct(r) for r in scalar_rules]
-
-    # J1 tool existence: left-join miss == anti-join hit
-    structs.append(
-        F.when(
-            F.col("__tool_k").isNotNull() & F.col("__tool_known").isNull(),
-            _vstruct("R_tool_exists", "error", F.col("tool")),
+        # J3 label match (warning): payload = 3rd ':'-segment of text
+        payload = F.get(F.split(F.col("text"), ":"), 2)
+        pre_structs.append(
+            F.when(
+                F.col("__tool_label").isNotNull()
+                & payload.isNotNull()
+                & (F.lower(payload) != F.lower(F.col("__tool_label"))),
+                _vstruct("R_tool_label", "warning", payload),
+            )
         )
+    pre_packed = F.filter(
+        F.array(*[s.cast(_VIOLATION_STRUCT) for s in pre_structs]), lambda x: x.isNotNull()
     )
-    # J3 label match (warning): payload = 3rd ':'-segment of text
-    payload = F.get(F.split(F.col("text"), ":"), 2)
-    structs.append(
-        F.when(
-            F.col("__tool_label").isNotNull()
-            & payload.isNotNull()
-            & (F.lower(payload) != F.lower(F.col("__tool_label"))),
-            _vstruct("R_tool_label", "warning", payload),
-        )
+    slim = pre.select(
+        "conv_id", "turn_idx", partition_col, "role", "ts", pre_packed.alias("__pv")
     )
+
+    # ---- one fact-sized exchange on conv_id; HashPartitioning(conv_id)
+    # satisfies the ClusteredDistribution of every window spec below, so
+    # no further fact-sized shuffle is planned.
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    w_key = Window.partitionBy("conv_id", "turn_idx")
+    w_key_rn = Window.partitionBy("conv_id", "turn_idx").orderBy("ts")
+    anno = slim.repartition("conv_id").select(
+        "conv_id",
+        "turn_idx",
+        partition_col,
+        "role",
+        "ts",
+        "__pv",
+        F.lag("turn_idx").over(w).alias("__prev_idx"),
+        F.lag("ts").over(w).alias("__prev_ts"),
+        F.lag("role").over(w).alias("__prev_role"),
+        F.count(F.lit(1)).over(w_key).alias("__key_cnt"),
+        F.row_number().over(w_key_rn).alias("__key_rn"),
+    )
+
+    structs: list[Column] = []
     # J10 uniqueness: emitted once per duplicated key (on its first row)
     structs.append(
         F.when(
@@ -169,14 +174,14 @@ def validate_transcripts_fused(
             )
         )
 
-    packed = F.filter(
+    post_packed = F.filter(
         F.array(*[s.cast(_VIOLATION_STRUCT) for s in structs]), lambda x: x.isNotNull()
     )
     wide = anno.select(
         "conv_id",
         "turn_idx",
         partition_col,
-        packed.alias("__v"),
+        F.concat(F.col("__pv"), post_packed).alias("__v"),
     )
 
     turn_violations = (
