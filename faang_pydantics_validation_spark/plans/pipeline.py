@@ -16,7 +16,7 @@ Shuffle budget at 100 TB (the thing that matters at 1000 executors):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

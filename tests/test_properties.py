@@ -1,0 +1,74 @@
+"""Property-based checks (hypothesis): generate one batch of adversarial
+rows per property and run a single Spark job over it — the rule compiler's
+behavior must match a plain-Python model of the semantics exactly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from faang_pydantics_validation_spark.rules.compiler import compile_row_rules
+from faang_pydantics_validation_spark.rules.spec import (
+    MISSING_VALUE_POLICY,
+    SENTINELS,
+    RuleSpec,
+)
+
+TEXTISH = st.one_of(
+    st.none(),
+    st.sampled_from(SENTINELS + ["", " ", "ok", "1", "-2.5", "abc", "restricted access "]),
+    st.text(alphabet="ab 1.-", max_size=8),
+)
+
+
+def _run(spark, values, rules):
+    rows = [("c", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, v string")
+    out = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
+    return {r["turn_idx"]: (r["rule_id"], r["severity"]) for r in out.collect()}
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=40))
+def test_required_matches_python_model(spark, values):
+    got = _run(spark, values, [RuleSpec("r", "required", ("v",))])
+    for i, v in enumerate(values):
+        expect = v is None or v.strip() == ""
+        assert (i in got) == expect, (i, repr(v))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(TEXTISH, min_size=1, max_size=40),
+    st.sampled_from(sorted(MISSING_VALUE_POLICY)),
+)
+def test_sentinel_tier_matches_policy_table(spark, values, tier):
+    got = _run(spark, values, [RuleSpec("r", "required", ("v",), tier=tier)])
+    policy = MISSING_VALUE_POLICY[tier]
+    for i, v in enumerate(values):
+        if v in SENTINELS:  # exact match only, like the reference
+            if v in policy:
+                assert got[i] == ("r", policy[v]), (i, v, tier)
+            else:
+                assert i not in got, (i, v, tier)
+        else:
+            expect = v is None or v.strip() == ""
+            assert (i in got) == expect, (i, repr(v), tier)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=40))
+def test_numeric_bounds_matches_python_model(spark, values):
+    got = _run(
+        spark, values, [RuleSpec("r", "numeric", ("v",), params={"min": 0, "max": 10})]
+    )
+    for i, v in enumerate(values):
+        if v is None or v.strip() == "":
+            expect = False
+        else:
+            try:
+                x = float(v)
+                expect = x < 0 or x > 10
+            except ValueError:
+                expect = True
+        assert (i in got) == expect, (i, repr(v))
