@@ -94,6 +94,17 @@ def main() -> None:
                 "n_turns": n_turns,
                 "turns_per_sec": round(n_turns / val_wall, 1),
                 "cores": cpus,
+                **(
+                    {"scaling": json.load(open(_sc))}
+                    if os.path.exists(
+                        _sc := os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "data",
+                            "scaling_summary.json",
+                        )
+                    )
+                    else {}
+                ),
             }
         )
     )

@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+import pytest
+
+from faang_pydantics_validation_spark.plans.rulesets import transcript_scalar_rules
+from faang_pydantics_validation_spark.rules.loader import (
+    load_ruleset,
+    rules_from_json,
+    rules_to_json,
+)
+
+
+def test_roundtrip():
+    rules = transcript_scalar_rules()
+    assert rules_from_json(rules_to_json(rules)) == rules
+
+
+def test_checked_in_ruleset_matches_code():
+    # the JSON document at rulesets/transcripts.rules.json IS the default
+    # ruleset — it must stay in lockstep with plans.rulesets
+    assert load_ruleset("rulesets/transcripts.rules.json") == transcript_scalar_rules()
+
+
+def test_unknown_kind_rejected():
+    with pytest.raises(ValueError, match="unknown kind"):
+        rules_from_json('[{"rule_id": "x", "kind": "nope", "columns": ["a"]}]')
+
+
+def test_duplicate_rule_ids_rejected():
+    doc = (
+        '[{"rule_id": "x", "kind": "required", "columns": ["a"]},'
+        ' {"rule_id": "x", "kind": "required", "columns": ["b"]}]'
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        rules_from_json(doc)
+
+
+def test_loaded_ruleset_validates(spark, dataset):
+    from faang_pydantics_validation_spark.plans.fused import validate_transcripts_fused
+
+    rules = load_ruleset("rulesets/transcripts.rules.json")
+    res = validate_transcripts_fused(dataset["transcripts"], dataset, scalar_rules=rules)
+    want = dataset["expected_violations"]
+    cmp = ["conv_id", "turn_idx", "rule_id", "severity", "scope", "observed"]
+    assert res.violations.select(*cmp).exceptAll(want.select(*cmp)).count() == 0
+    assert want.select(*cmp).exceptAll(res.violations.select(*cmp)).count() == 0
