@@ -59,6 +59,8 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
 
+    spark.range(10_000_000).selectExpr("sum(id)").collect()  # JIT/codegen warmup
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
