@@ -272,6 +272,68 @@ def q_sessionization_events(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_conv_rollup(spark, sf_dir):
+    """Per-conversation rollup (stats.conversation_stats inner pass):
+    user_id = conversation, events = turns."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("event_type").alias("n_types"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("span_us"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def q_tpch_q5_local_supplier(spark, sf_dir):
+    """5-way join (region-nation-customer-orders-lineitem-supplier):
+    revenue by nation — the join-reordering/broadcast stress query."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            sup,
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (cust["c_nationkey"] == sup["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_drift_role_categorical(spark, sf_dir):
+    """Categorical drift: event_type distribution between month-halves —
+    the top-K + OTHER histogram path with an exact SQL twin."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "half", F.when(F.dayofmonth("ts") <= 15, F.lit("a")).otherwise(F.lit("b"))
+    )
+    hist = DR.categorical_histogram(events, "event_type", partition_col="half", top_k=3)
+    m = DR.drift_metrics_sql(hist, "a", "b")
+    return m.select(
+        "column", "part_a", "part_b",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("psi", 6).alias("psi"),
+        "verdict",
+    )
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -434,7 +496,10 @@ QUERIES: dict[str, QueryFn] = {
     "salted_user_counts": q_salted_user_counts,
     "drift_value_halves": q_drift_value_halves,
     "sessionization_events": q_sessionization_events,
+    "conv_rollup": q_conv_rollup,
+    "drift_role_categorical": q_drift_role_categorical,
     "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "dedup_exact_documents": q_dedup_exact_documents,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -193,6 +193,67 @@ ORACLES: dict[str, str] = {
                cast(max(n) AS bigint) max_session_events
         FROM ps GROUP BY 1
     """,
+    "conv_rollup": """
+        SELECT user_id, cast(count(*) AS bigint) n_turns,
+               cast(count(DISTINCT event_type) AS bigint) n_types,
+               cast(epoch_us(max(ts)) - epoch_us(min(ts)) AS bigint) span_us,
+               round(avg(value), 4) avg_value
+        FROM events GROUP BY 1
+    """,
+    "tpch_q5_local_supplier": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) revenue,
+               cast(count(*) AS bigint) n_items
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1997-01-01'
+        GROUP BY 1
+    """,
+    "drift_role_categorical": """
+        WITH ev AS (
+          SELECT event_type,
+                 CASE WHEN extract(day FROM ts) <= 15 THEN 'a' ELSE 'b' END half
+          FROM events
+        ),
+        top3 AS (
+          SELECT event_type FROM ev GROUP BY 1
+          ORDER BY count(*) DESC, event_type ASC LIMIT 3
+        ),
+        hist AS (
+          SELECT half,
+                 CASE WHEN event_type IN (SELECT event_type FROM top3)
+                      THEN event_type ELSE '__OTHER__' END bucket,
+                 count(*) cnt
+          FROM ev GROUP BY 1, 2
+        ),
+        a AS (SELECT bucket, sum(cnt) ca FROM hist WHERE half = 'a' GROUP BY 1),
+        b AS (SELECT bucket, sum(cnt) cb FROM hist WHERE half = 'b' GROUP BY 1),
+        ab AS (
+          SELECT coalesce(a.bucket, b.bucket) bucket, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+          FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+        ),
+        pq AS (
+          SELECT bucket,
+                 ca / (SELECT sum(ca) FROM ab)::double + 1e-6 p,
+                 cb / (SELECT sum(cb) FROM ab)::double + 1e-6 q
+          FROM ab
+        ),
+        c AS (
+          SELECT abs(sum(p) OVER (ORDER BY bucket) - sum(q) OVER (ORDER BY bucket)) cdf_diff,
+                 (p - q) * ln(p / q) psi_term
+          FROM pq
+        )
+        SELECT 'event_type' AS "column", 'a' AS part_a, 'b' AS part_b,
+               round(max(cdf_diff), 6) AS ks_stat, round(sum(psi_term), 6) AS psi,
+               CASE WHEN sum(psi_term) > 0.2 OR max(cdf_diff) > 0.2 THEN 'drift' ELSE 'ok' END AS verdict
+        FROM c
+    """,
     "tpch_q1_pricing": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) sum_qty,
