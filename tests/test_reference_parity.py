@@ -1,0 +1,222 @@
+"""Differential parity with the reference's OWN test data (SURVEY.md §5.3):
+run this engine's rule kinds over /root/reference/json_files/new_example.json
+and assert the same per-record verdict classes, error rules, warnings, and
+relationship errors that the reference's golden output
+(/root/reference/validation_results.json) records:
+
+  organism:  3 total, ECA_UKY_H11 INVALID (Secondary Project enum),
+             ECA_UKY_H1 + OCU_INRAE_PND18 VALID with 2 recommended-missing
+             warnings each, 1 relationship error (H1 lists itself in
+             Child Of -> circular, generic_validator_classes.py:561-574)
+  organoid:  2 total, OCU_INRAE_S2 INVALID (Organ Model term prefix not
+             UBERON/BTO, organoid_ruleset prefix routing) + missing
+             Derived From ref (J6)
+  teleostei_post_hatching: 2 total, #1 INVALID (Term Source ID enum +
+             non-numeric Sampling Weight) with an ontology label-mismatch
+             warning ('normal' vs 'absent' for PATO:0000462)
+
+Rules are declared with this engine's generic kinds — no reference code.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from faang_pydantics_validation_spark.operators.joins import (
+    anti_join_rule,
+    circular_reference_rule,
+)
+from faang_pydantics_validation_spark.operators.ontology import (
+    nested_elements_rule,
+    prefix_route_rule,
+)
+from faang_pydantics_validation_spark.rules.compiler import compile_row_rules
+from faang_pydantics_validation_spark.rules.spec import RuleSpec
+
+REF = "/root/reference/json_files/new_example.json"
+GOLDEN = "/root/reference/validation_results.json"
+
+SECONDARY_PROJECTS = [
+    "AQUA-FAANG", "BovReg", "GENE-SWitCH", "Bovine-FAANG", "EFFICACE",
+    "GEroNIMO", "RUMIGEN", "Equine-FAANG", "Holoruminant", "USPIGFAANG",
+]
+TPH_TERMS = [
+    "OBI_0100026", "OBI_0001479", "OBI_0001468", "OBI_0002127",
+    "OBI_0302716", "OBI_0001876", "CLO_0000031", "NCIT_C172259",
+    "restricted access",
+]
+
+
+@pytest.fixture(scope="module")
+def ref_data():
+    return json.load(open(REF))
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.load(open(GOLDEN))["validation_results"]
+
+
+def _df(spark, rows, cols, schema):
+    data = [tuple(r.get(c) for c in cols) for r in rows]
+    return spark.createDataFrame(data, schema)
+
+
+def test_organism_sheet_parity(spark, ref_data, golden):
+    rows = ref_data["organism"]
+    df = _df(
+        spark,
+        rows,
+        ["Sample Name", "Material", "Term Source ID", "Secondary Project",
+         "Breed", "Breed Term Source ID", "Birth Date", "Unit", "Child Of"],
+        "name string, material string, term string, secondary_project string, "
+        "breed string, breed_term string, birth_date string, unit string, "
+        "child_of array<string>",
+    ).withColumn("conv_id", F.col("name")).withColumn("turn_idx", F.lit(0))
+
+    rules = [
+        RuleSpec("R_secondary_project", "enum", ("secondary_project",),
+                 params={"values": SECONDARY_PROJECTS}, skip_sentinels=True),
+        # organism material must map to its fixed term (standard_ruleset.py:49-70)
+        RuleSpec("R_material_term", "consistency_map", ("material", "term"),
+                 params={"mapping": {"organism": "OBI_0100026"}}),
+        RuleSpec("R_birth_date", "date_by_unit", ("birth_date", "unit"),
+                 params={"formats": {"YYYY-MM": r"^[12]\d{3}-(0[1-9]|1[0-2])$"}}),
+        # recommended fields -> warning when missing (base_validator.py:91-103)
+        RuleSpec("W_breed", "required", ("breed",), severity="warning"),
+        RuleSpec("W_breed_term", "required", ("breed_term",), severity="warning"),
+        # child_of cardinality <= 2 (organism_ruleset.py:249-260)
+        RuleSpec("R_child_of_card", "array_size", ("child_of",), params={"max": 2}),
+    ]
+    v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
+    by_sample: dict[str, dict[str, set]] = {}
+    for r in v.collect():
+        d = by_sample.setdefault(r["conv_id"], {"error": set(), "warning": set()})
+        d[r["severity"]].add(r["rule_id"])
+
+    # circular child_of (J9)
+    ents = df.select("name", F.filter("child_of", lambda x: F.trim(x) != "").alias("parents"))
+    circ = {r["conv_id"] for r in circular_reference_rule(ents, "name", "parents", "R_circular").collect()}
+    # referential existence of child_of (J6) against the batch
+    names = df.select(F.col("name").alias("id"))
+    exploded = df.select("conv_id", F.lit(0).alias("turn_idx"),
+                         F.explode(F.filter("child_of", lambda x: F.trim(x) != "")).alias("ref"))
+    missing_refs = {r["conv_id"] for r in anti_join_rule(exploded, names, "ref", "id", "R_ref", ds=False).collect()}
+
+    g = golden["results_by_type"]["organism"]
+    golden_invalid = {e["sample_name"] for e in g["invalid_organisms"]}
+    golden_valid = {e["sample_name"] for e in g["valid_organisms"]}
+
+    engine_invalid = {s for s, d in by_sample.items() if d["error"]}
+    assert engine_invalid == golden_invalid == {"ECA_UKY_H11"}
+    assert by_sample["ECA_UKY_H11"]["error"] == {"R_secondary_project"}
+
+    # both golden-valid records carry exactly the two breed warnings
+    for s in golden_valid:
+        assert by_sample[s]["warning"] == {"W_breed", "W_breed_term"}, s
+        assert not by_sample[s]["error"]
+
+    # relationship errors: golden reports exactly one (H1's circular listing)
+    assert circ == {"ECA_UKY_H1"}
+    assert missing_refs == set()
+    assert g["summary"] == {"total": 3, "valid": 2, "invalid": 1,
+                            "warnings": 2, "relationship_errors": 1}
+
+
+def test_organoid_sheet_parity(spark, ref_data, golden):
+    rows = ref_data["organoid"]
+    df = _df(
+        spark,
+        rows,
+        ["Sample Name", "Organ Model Term Source ID", "Freezing Method",
+         "Freezing Date", "Freezing Protocol", "Derived From"],
+        "name string, organ_model_term string, freezing_method string, "
+        "freezing_date string, freezing_protocol string, derived_from string",
+    ).withColumn("conv_id", F.col("name")).withColumn("turn_idx", F.lit(0)).withColumn(
+        "ds", F.lit("d")
+    )
+
+    # prefix routing: organ model term must be UBERON or BTO
+    # (organoid ruleset; golden error on 'UBERONx:0001153')
+    pref = prefix_route_rule(df, "organ_model_term", {"organ": ["UBERON", "BTO"]},
+                             "R_organ_model_prefix")
+    errors = {r["conv_id"]: r["observed"] for r in pref.collect()}
+
+    # X3: freezing date+protocol required unless method == 'fresh'
+    x3 = compile_row_rules(
+        df,
+        [RuleSpec("R_freezing", "conditional_required",
+                  ("freezing_method", "freezing_date", "freezing_protocol"),
+                  params={"unless_values": ["fresh"]})],
+        key_cols=("conv_id", "turn_idx"), partition_col=None,
+    )
+    assert x3.count() == 0  # both records are 'fresh' -> no requirement
+
+    # J6: derived_from must exist in the batch (organism + specimen + organoid)
+    batch_names = [r["Sample Name"] for sheet in
+                   ("organism", "specimen_from_organism", "organoid")
+                   for r in ref_data[sheet]]
+    dim = spark.createDataFrame([(n,) for n in batch_names], "id string")
+    missing = anti_join_rule(df, dim, "derived_from", "id", "R_derived_exists", ds=False)
+    missing_by = {r["conv_id"]: r["observed"] for r in missing.collect()}
+
+    g = golden["results_by_type"]["organoid"]
+    golden_invalid = {e["sample_name"] for e in g["invalid_organoids"]}
+    assert set(errors) == golden_invalid == {"OCU_INRAE_S2"}
+    assert errors["OCU_INRAE_S2"] == "UBERONx:0001153"
+    assert missing_by == {"OCU_INRAE_S2": "OCU_INRAE_PND18_S19"}
+    assert g["summary"]["relationship_errors"] == 1
+
+
+def test_teleostei_post_hatching_parity(spark, ref_data, golden):
+    rows = ref_data["teleostei_post_hatching"]
+    hs = [[(e["text"], e["term"]) for e in r.get("Health Status", [])] for r in rows]
+    df = spark.createDataFrame(
+        [
+            (r["Sample Name"], r["Term Source ID"], str(r["Sampling Weight"]), h)
+            for r, h in zip(rows, hs)
+        ],
+        "name string, term string, sampling_weight string, "
+        "hs array<struct<text:string,term:string>>",
+    ).withColumn("conv_id", F.col("name")).withColumn("turn_idx", F.lit(0)).withColumn(
+        "ds", F.lit("d")
+    )
+
+    rules = [
+        RuleSpec("R_term_source_enum", "enum", ("term",), params={"values": TPH_TERMS}),
+        RuleSpec("R_sampling_weight", "numeric", ("sampling_weight",),
+                 params={"min": 0}, skip_sentinels=True),
+    ]
+    v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
+    by_sample: dict[str, set] = {}
+    for r in v.collect():
+        by_sample.setdefault(r["conv_id"], set()).add(r["rule_id"])
+
+    # A5/J3: nested Health Status label match against the PATO dim
+    dim_terms = spark.createDataFrame(
+        [("PATO:0000461", "normal", "PATO", ["PATO:0000461"]),
+         ("PATO:0000462", "absent", "PATO", ["PATO:0000462"])],
+        "term string, label string, ontology string, is_a_path array<string>",
+    )
+    nested = nested_elements_rule(df, dim_terms, "hs", "R_hs_exists", "R_hs_label")
+    nested_by = {(r["conv_id"], r["rule_id"]) for r in nested.collect()}
+
+    g = golden["results_by_type"]["teleostei_post_hatching"]
+    golden_invalid = {e["sample_name"] for e in g["invalid_teleostei_post_hatchings"]}
+    assert set(by_sample) == golden_invalid == {"teleostei_post_hatching_1"}
+    assert by_sample["teleostei_post_hatching_1"] == {
+        "R_term_source_enum", "R_sampling_weight",
+    }
+    # golden ontology warning: 'normal' vs label 'absent' for PATO:0000462
+    # (term arrives in underscore form -> P3 normalization inside the rule)
+    assert nested_by == {("teleostei_post_hatching_1", "R_hs_label")}
+
+
+def test_total_summary_parity(spark, golden):
+    assert golden["total_summary"] == {
+        "total_samples": 10, "valid_samples": 7, "invalid_samples": 3,
+        "warnings": 2, "relationship_errors": 2,
+    }
