@@ -128,6 +128,16 @@ def run_with_checkpoint(
         res.verdicts.withColumn(partition_col, F.col(partition_col).cast("string")).write.mode(
             "overwrite"
         ).parquet(ver_path)
+        # sketch state (north_rule): per-partition column profile — HLL++
+        # distinct estimates + KLL-class quantiles — persisted alongside
+        # the lineage entry so drift checks can compare snapshots without
+        # re-scanning completed partitions
+        from ..operators.stats import column_stats
+
+        stats_path = os.path.join(checkpoint_dir, "stats", f"ds={part}")
+        column_stats(part_facts, partition_col=partition_col).drop(
+            partition_col
+        ).write.mode("overwrite").parquet(stats_path)
         verdict_row = spark.read.parquet(ver_path).first()
         n_vio = spark.read.parquet(vio_path).count()
         _write_manifest_entry(
@@ -148,9 +158,15 @@ def run_with_checkpoint(
 
 
 def load_results(spark: SparkSession, checkpoint_dir: str) -> dict[str, DataFrame]:
-    return {
+    out = {
         "violations": spark.read.option("basePath", os.path.join(checkpoint_dir, "violations")).parquet(
             os.path.join(checkpoint_dir, "violations", "ds=*")
         ),
         "verdicts": spark.read.parquet(os.path.join(checkpoint_dir, "verdicts", "ds=*")),
     }
+    stats_dir = os.path.join(checkpoint_dir, "stats")
+    if os.path.isdir(stats_dir):
+        out["stats"] = spark.read.option("basePath", stats_dir).parquet(
+            os.path.join(stats_dir, "ds=*")
+        )
+    return out

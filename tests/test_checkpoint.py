@@ -60,6 +60,13 @@ def test_kill_resume_equivalence(spark, dataset, tmp_path):
     for st in r3["manifest"].values():
         assert st.status == "complete" and st.wall_sec >= 0 and st.total_turns > 0
 
+    # sketch state persisted per partition (HLL++ distinct + quantiles)
+    stats = loaded["stats"]
+    srows = stats.collect()
+    assert {str(r["ds"]) for r in srows} == set(r1["ran"]) | set(r2["ran"])
+    a_turn = next(r for r in srows if r["column"] == "turn_idx")
+    assert a_turn["approx_distinct"] > 0 and a_turn["quantiles"] is not None
+
 
 def test_ruleset_change_invalidates_checkpoint(spark, dataset, tmp_path):
     ckpt = str(tmp_path / "ckpt2")
