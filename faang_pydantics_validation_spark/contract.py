@@ -353,6 +353,11 @@ def q_tpch_q1_pricing(spark, sf_dir):
 
 
 def q_tpch_q3_shipping(spark, sf_dir):
+    """Top-10 via orderBy().limit() so Spark plans TakeOrderedAndProject
+    (distributed per-partition top-k + tiny driver merge) instead of a
+    partition-less row_number window (single-task sort of ALL order-level
+    aggregates — a scale-killer at 100x). The rank column is re-derived on
+    the 10-row result, where a global window costs nothing."""
     from pyspark.sql import Window
 
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -364,17 +369,14 @@ def q_tpch_q3_shipping(spark, sf_dir):
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+    top = j.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        j.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
-        .select(
-            "l_orderkey",
-            F.col("o_orderdate").cast("string").alias("o_orderdate"),
-            "o_orderpriority",
-            "revenue",
-            "rk",
-        )
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "l_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_orderpriority",
+        "revenue",
+        "rk",
     )
 
 
@@ -389,8 +391,11 @@ def q_dedup_exact_documents(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """max_df stop-shingle cap is wired explicitly (and is the operator
+    default): without it the inverted-index self-join goes quadratic on
+    hot shingles at corpus scale. The DuckDB oracle applies the same cap."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_df=1000)
 
 
 def q_text_quality(spark, sf_dir):
@@ -461,10 +466,19 @@ def q_ann_ivf(spark, sf_dir):
 
 def q_approx_distinct_quantiles(spark, sf_dir):
     """HLL++/KLL sketch outputs (approximate by design — rows-only check;
-    exactness is asserted with tolerances in the pytest suite)."""
+    exactness is asserted with tolerances in the pytest suite).
+
+    The quantiles array is serialized to a JSON string: the driver's
+    rows-only canonicalizer hashes rows via pandas and dies on unhashable
+    list cells (CORRECTNESS_r01 red row)."""
     orders = _t(spark, sf_dir, "orders").withColumn("part", F.lit("all"))
     st = ST.column_stats(orders, partition_col="part", columns=["o_custkey", "o_totalprice"])
-    return st.select("part", "column", "approx_distinct", "quantiles")
+    return st.select(
+        "part",
+        "column",
+        "approx_distinct",
+        F.to_json(F.transform("quantiles", lambda x: F.round(x, 6))).alias("quantiles"),
+    )
 
 
 def q_drift_pandas_udf(spark, sf_dir):

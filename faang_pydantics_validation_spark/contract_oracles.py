@@ -51,9 +51,13 @@ FROM c
 
 ORACLES: dict[str, str] = {
     "rule_enum_event_type": f"""
+        -- mirrors the Spark rule's P2 normalization (trim + blank->NULL)
+        -- so padded/blank values diverge identically in both engines
         SELECT event_id, 'R_event_type' AS rule_id, 'error' AS severity,
                'turn' AS scope, event_type AS observed
-        FROM events WHERE event_type NOT IN {EVENT_TYPES_OK_SQL}
+        FROM events
+        WHERE nullif(trim(event_type), '') IS NOT NULL
+          AND nullif(trim(event_type), '') NOT IN {EVENT_TYPES_OK_SQL}
     """,
     "rule_required_props": """
         SELECT event_id, 'R_props_required' AS rule_id, 'error' AS severity,
@@ -117,7 +121,8 @@ ORACLES: dict[str, str] = {
         ),
         v AS (
           SELECT conv_id, event_id, ds, 1 err, 0 warn FROM f
-          WHERE event_type NOT IN ('click','view','purchase')
+          WHERE nullif(trim(event_type), '') IS NOT NULL
+            AND nullif(trim(event_type), '') NOT IN ('click','view','purchase')
           UNION ALL
           SELECT conv_id, event_id, ds, 0, 1 FROM f WHERE value < 0 OR value > 450
         ),
@@ -292,13 +297,17 @@ ORACLES: dict[str, str] = {
           FROM documents
         ),
         words AS (SELECT doc_id, string_split(t, ' ') ws FROM norm),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id,
                  CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
                       ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END sh
           FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) i
                 FROM words)
         ),
+        -- max_df=1000 stop-shingle cap, mirroring the Spark operator:
+        -- sizes are computed AFTER the cap (Jaccard over rare shingles)
+        rare AS (SELECT sh FROM sh0 GROUP BY 1 HAVING count(*) <= 1000),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
         sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
         pairs AS (
           SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
@@ -382,6 +391,11 @@ ORACLES: dict[str, str] = {
         FROM e GROUP BY label
     """,
     "multimodal_meta": """
+        -- NOTE: body_sum here is a per-character codepoint sum while the
+        -- Spark decoder sums UTF-8 bytes — equal only because the testdata
+        -- documents are ASCII (and doc_id >= 0 makes % == pmod). The byte
+        -- sum is the correct multimodal semantics; this oracle documents
+        -- the ASCII-only equivalence rather than weakening the operator.
         SELECT doc_id,
                cast(16 + octet_length(encode(text)) AS int) n_bytes,
                cast(doc_id % 64 + 8 AS int) width,

@@ -77,7 +77,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard >= threshold, via an
     inverted index: explode shingles, self-equi-join on shingle with
@@ -86,7 +86,10 @@ def ngram_jaccard_pairs(
     max_df drops shingles appearing in more than max_df docs (stop-shingle
     pruning): at corpus scale the hot shingles would otherwise create
     quadratic candidate blowup; any pair sharing ONLY stop-shingles is not
-    a near-dup anyway. Output: (id_a, id_b, jaccard rounded 6dp)."""
+    a near-dup anyway. Defaults ON (1000) — pass None to disable only for
+    corpora known to have no hot shingles. Note shingle-set sizes are
+    computed AFTER the cap, so Jaccard is over the rare-shingle sets.
+    Output: (id_a, id_b, jaccard rounded 6dp)."""
     sh = _shingle_table(df, id_col, text_col, n, persist=True)
     if max_df is not None:
         rare = (

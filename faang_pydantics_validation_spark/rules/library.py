@@ -119,8 +119,9 @@ def _conditional_upper_bound(cols, params):
     d = F.col(cols[0]).try_cast("double")
     pct_max = float(params.get("pct_max", 100.0))
     abs_max = float(params["abs_max"])
-    cond = d.isNotNull() & ((d < 0) | (d > abs_max))
-    return cond & (d > pct_max), _obs(cols[0])
+    # negatives are owned by the paired numeric{min:0} rule (same layering
+    # as the reference: teleostei_post_hatching_ruleset.py:219-232)
+    return d.isNotNull() & (d > pct_max) & (d > abs_max), _obs(cols[0])
 
 
 @register("regex")
