@@ -167,13 +167,17 @@ def uniqueness_rule(
     the reference's {sample_name: record} identity map
     (generic_validator_classes.py:446,584-597). Map-side partial counts
     make this skew-safe: a hot conversation fans out across cores before
-    the final merge."""
-    keys = list(key_cols) + (["ds"] if ds else [])
-    dups = (
-        facts.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > 1)
-    )
+    the final merge.
+
+    The key is GLOBAL (ds is NOT part of it): a duplicated (conv_id,
+    turn_idx) is a duplicate even when its copies land in different ds
+    partitions (north_star: 'uniqueness of (conv_id, turn_idx)'). The
+    emitted ds is the group minimum — the same row the fused path emits on
+    (its first row ordered by (ds, ts))."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if ds:
+        aggs.append(F.min("ds").alias("ds"))
+    dups = facts.groupBy(*key_cols).agg(*aggs).where(F.col("__n") > 1)
     return _emit(dups, rule_id, severity, "turn", F.col("__n"), ds)
 
 
@@ -185,6 +189,7 @@ def window_rules(
     contiguity_rule: str = "R_turn_contiguous",
     monotonic_rule: str = "R_ts_monotonic",
     transition_rule: str = "R_role_transition",
+    context: DataFrame | None = None,
 ) -> DataFrame:
     """Stable-turn-ordering invariants (north_star): one shuffle on
     conv_id, one window pass, three rules.
@@ -193,17 +198,34 @@ def window_rules(
     - monotonic ts: ts < lag(ts)              -> error
     - role transition: consecutive (lag_role, role) must be in the
       allowed-transitions dim (J7/J8 relationship analog); only evaluated
-      between contiguous turns whose roles are both known."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+      between contiguous turns whose roles are both known.
+
+    context (optional): carry-in lag rows for incremental/per-partition
+    runs (plans/checkpoint.py) — at most one row per conversation, the
+    LAST turn of that conversation from earlier partitions, with the same
+    (conv_id, turn_idx, [ds,] role, ts) columns. Context rows participate
+    only as lag providers: no violation is ever emitted FOR them, and a
+    partition row whose lag row is context additionally gets a
+    cross-partition duplicate check (turn_idx == context turn_idx ->
+    R_turn_unique), the one duplicate shape per-partition uniqueness
+    cannot see."""
     keys = ["conv_id", "turn_idx"] + (["ds"] if ds else [])
-    anno = facts.select(
+    base = facts.select(*keys, "role", "ts").withColumn("__ctx", F.lit(False))
+    if context is not None:
+        base = base.unionByName(
+            context.select(*keys, "role", "ts").withColumn("__ctx", F.lit(True))
+        )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    anno = base.select(
         *keys,
         "role",
         "ts",
+        "__ctx",
         F.lag("turn_idx").over(w).alias("__prev_idx"),
         F.lag("ts").over(w).alias("__prev_ts"),
         F.lag("role").over(w).alias("__prev_role"),
-    )
+        F.lag("__ctx").over(w).alias("__prev_ctx"),
+    ).where(~F.col("__ctx"))
     contiguous = F.col("turn_idx") == F.col("__prev_idx") + 1
 
     gaps = _emit(
@@ -245,6 +267,20 @@ def window_rules(
             ds,
         )
         out = out.unionByName(trans)
+    if context is not None:
+        # cross-partition duplicate: this partition re-contains the last
+        # turn key already recorded by an earlier partition's tail
+        bdup = _emit(
+            anno.where(
+                F.col("__prev_ctx") & (F.col("turn_idx") == F.col("__prev_idx"))
+            ),
+            "R_turn_unique",
+            "error",
+            "turn",
+            F.lit(2),
+            ds,
+        )
+        out = out.unionByName(bdup)
     return out
 
 

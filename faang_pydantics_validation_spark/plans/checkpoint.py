@@ -10,10 +10,26 @@ Layout under checkpoint_dir:
     manifest/part=<ds>.json        one tiny JSON per completed partition
     violations/ds=<ds>/*.parquet   per-partition violation rows
     verdicts/ds=<ds>/*.parquet     per-partition verdict row
+    stats/ds=<ds>/*.parquet        sketch state (column profile)
+    tails/ds=<ds>/*.parquet        boundary state: last turn per
+                                   conversation in that partition
 
 Partition-grained atomicity: a partition's manifest entry is written only
 AFTER its outputs land, so a kill mid-partition leaves no entry and the
 partition reruns cleanly (outputs are overwritten idempotently).
+
+Cross-partition window semantics: partitions are validated in sorted ds
+order, and each partition's window rules receive the LAST turn per
+conversation from all earlier completed partitions (the `tails` boundary
+state, one row per conversation per partition — metadata-sized at any
+scale) as carry-in lag context. A conversation spanning ds values
+therefore gets the same R_ts_monotonic / R_turn_contiguous /
+R_role_transition verdicts as the non-checkpoint fused run, provided
+partition order respects turn order (late-arriving out-of-order turns are
+flagged at the boundary, not silently re-sorted — the same contract as
+the streaming path). Uniqueness stays partition-scoped here except for
+the boundary-duplicate check the tail context enables; a fully global
+uniqueness pass requires the single fused run.
 """
 
 from __future__ import annotations
@@ -115,13 +131,21 @@ def run_with_checkpoint(
     rh = ruleset_hash(rules)
     to_run, skipped = pending_partitions(facts, checkpoint_dir, rules, partition_col)
 
+    done: list[str] = list(skipped)  # completed = always a sorted prefix
     ran: list[str] = []
     for i, part in enumerate(to_run):
         if fail_after is not None and i >= fail_after:
             break
         t0 = time.time()
         part_facts = facts.where(F.col(partition_col).cast("string") == part)
-        res = validate_transcripts(part_facts, dims, scalar_rules=rules, partition_col=partition_col)
+        ctx = _load_tail_context(spark, checkpoint_dir, done, part, partition_col)
+        res = validate_transcripts(
+            part_facts,
+            dims,
+            scalar_rules=rules,
+            partition_col=partition_col,
+            window_context=ctx,
+        )
         vio_path = os.path.join(checkpoint_dir, "violations", f"ds={part}")
         ver_path = os.path.join(checkpoint_dir, "verdicts", f"ds={part}")
         res.canonical_violations().drop(partition_col).write.mode("overwrite").parquet(vio_path)
@@ -138,6 +162,16 @@ def run_with_checkpoint(
         column_stats(part_facts, partition_col=partition_col).drop(
             partition_col
         ).write.mode("overwrite").parquet(stats_path)
+        # boundary state: last turn per conversation (one tiny row each) —
+        # the lag context later partitions stitch their windows onto
+        from pyspark.sql import Window
+
+        w_last = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"), F.desc("ts"))
+        part_facts.select("conv_id", "turn_idx", partition_col, "role", "ts").withColumn(
+            "__rn", F.row_number().over(w_last)
+        ).where(F.col("__rn") == 1).drop("__rn").write.mode("overwrite").parquet(
+            os.path.join(checkpoint_dir, "tails", f"ds={part}")
+        )
         verdict_row = spark.read.parquet(ver_path).first()
         n_vio = spark.read.parquet(vio_path).count()
         _write_manifest_entry(
@@ -153,8 +187,40 @@ def run_with_checkpoint(
             ),
         )
         ran.append(part)
+        done.append(part)
 
     return {"ran": ran, "skipped": skipped, "manifest": read_manifest(checkpoint_dir)}
+
+
+def _load_tail_context(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    done: list[str],
+    part: str,
+    partition_col: str,
+) -> DataFrame | None:
+    """Latest tail row per conversation across all completed partitions
+    earlier than `part` — the carry-in lag rows for window stitching.
+    Volume: one row per (conversation, partition); the reduction to one
+    row per conversation is a tiny window over that."""
+    from pyspark.sql import Window
+
+    paths = [
+        os.path.join(checkpoint_dir, "tails", f"ds={p}")
+        for p in done
+        if p < part and os.path.isdir(os.path.join(checkpoint_dir, "tails", f"ds={p}"))
+    ]
+    if not paths:
+        return None
+    tails = spark.read.parquet(*paths)
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc(partition_col), F.desc("turn_idx"), F.desc("ts")
+    )
+    return (
+        tails.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def load_results(spark: SparkSession, checkpoint_dir: str) -> dict[str, DataFrame]:

@@ -116,8 +116,12 @@ def validate_transcripts_fused(
     # satisfies the ClusteredDistribution of every window spec below, so
     # no further fact-sized shuffle is planned.
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    # uniqueness key is GLOBAL (conv_id, turn_idx) — no ds — matching
+    # operators/joins.uniqueness_rule; the emission row is the group's
+    # (ds, ts)-first row so the violation's ds == min(ds), identical to
+    # the composable path's groupBy + min(ds)
     w_key = Window.partitionBy("conv_id", "turn_idx")
-    w_key_rn = Window.partitionBy("conv_id", "turn_idx").orderBy("ts")
+    w_key_rn = Window.partitionBy("conv_id", "turn_idx").orderBy(partition_col, "ts")
     anno = slim.repartition("conv_id").select(
         "conv_id",
         "turn_idx",

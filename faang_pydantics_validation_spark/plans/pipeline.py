@@ -54,13 +54,18 @@ def validate_transcripts(
     scalar_rules: list[RuleSpec] | None = None,
     partition_col: str = "ds",
     persist_violations: bool = False,
+    window_context: DataFrame | None = None,
 ) -> ValidationResult:
     """Run the full rule suite over a transcripts DataFrame.
 
     persist_violations=True materializes the violation rows once so the
     verdict aggregation (and any later consumer) doesn't recompute the
     whole rule suite — the in-memory analog of the checkpoint writer's
-    write-then-aggregate (plans/checkpoint.py)."""
+    write-then-aggregate (plans/checkpoint.py).
+
+    window_context: carry-in lag rows (last turn per conversation from
+    earlier partitions) for incremental runs — see
+    operators/joins.window_rules."""
     if scalar_rules is None:
         scalar_rules = rulesets.transcript_scalar_rules()
 
@@ -98,6 +103,7 @@ def validate_transcripts(
             facts,
             valid_roles=ROLES,
             allowed_transitions=dims.get("allowed_transitions"),
+            context=window_context,
         ).select(*VIOLATION_COLS)
     )
 
