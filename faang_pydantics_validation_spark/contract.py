@@ -103,6 +103,25 @@ def q_rule_expr_props_k(spark, sf_dir):
     return v.select("event_id", "rule_id", "severity", "scope", "observed")
 
 
+def q_schema_check_events(spark, sf_dir):
+    """P17 unknown-field rejection at table grain: declare a contract that
+    (a) omits `props` (-> unknown column), (b) requires `session_id`
+    (-> missing column), (c) pins `value` as float (-> type mismatch).
+    Driver-side metadata check — zero data read."""
+    from .operators.schema import schema_check
+
+    events = _t(spark, sf_dir, "events")
+    declared = {
+        "event_id": "bigint",
+        "ts": "timestamp_ntz",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "float",
+        "session_id": "string",
+    }
+    return schema_check(events, declared).select("rule_id", "severity", "scope", "observed")
+
+
 def q_uniqueness_lineitem(spark, sf_dir):
     """J10 hash-aggregate dedup counts on (l_orderkey, l_linenumber)."""
     li = _t(spark, sf_dir, "lineitem").select(
@@ -501,6 +520,7 @@ QUERIES: dict[str, QueryFn] = {
     "rule_required_props": q_rule_required_props,
     "rule_numeric_value_range": q_rule_numeric_value_range,
     "rule_expr_props_k": q_rule_expr_props_k,
+    "schema_check_events": q_schema_check_events,
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_user_supplier": q_referential_user_supplier,
     "allowed_pairs_orders": q_allowed_pairs_orders,

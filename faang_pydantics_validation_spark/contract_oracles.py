@@ -75,6 +75,16 @@ ORACLES: dict[str, str] = {
         FROM events
         WHERE try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS int) >= 90
     """,
+    "schema_check_events": """
+        -- the P17 check is driver-side metadata over a FIXED declared
+        -- contract vs the parquet schema, so its expected output is a
+        -- constant relation
+        SELECT * FROM (VALUES
+          ('R_column_type',    'error', 'table', 'value:double!=float'),
+          ('R_missing_column', 'error', 'table', 'session_id:string'),
+          ('R_unknown_column', 'error', 'table', 'props:string')
+        ) t(rule_id, severity, scope, observed)
+    """,
     "uniqueness_lineitem": """
         SELECT cast(l_orderkey AS varchar) AS conv_id, l_linenumber AS turn_idx,
                'R_turn_unique' AS rule_id, 'error' AS severity, 'turn' AS scope,

@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", default=None, help="write violations/verdicts parquet + results.json")
     ap.add_argument("--master", default=None)
     ap.add_argument("--report", action="store_true", help="print the human report")
+    ap.add_argument(
+        "--allow-schema-drift",
+        action="store_true",
+        help="skip the P17 schema gate (unknown/missing/retyped columns)",
+    )
     args = ap.parse_args(argv)
 
     from faang_pydantics_validation_spark.plans import checkpoint as CP
@@ -45,6 +50,24 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master)
     t0 = time.time()
     facts = spark.read.parquet(f"{args.input}/transcripts")
+
+    # P17 gate: unknown/missing/retyped columns fail fast, the columnar
+    # analog of the reference's pydantic extra='forbid' (every ruleset
+    # Config, e.g. organism_ruleset.py:277-281). Metadata-only: no scan.
+    if not args.allow_schema_drift:
+        from faang_pydantics_validation_spark.operators.schema import (
+            TRANSCRIPT_EXPECTED,
+            schema_check,
+        )
+
+        schema_rows = schema_check(facts, TRANSCRIPT_EXPECTED).collect()
+        if schema_rows:
+            for r in schema_rows:
+                print(f"schema violation: {r['rule_id']} {r['observed']}", file=sys.stderr)
+            print(json.dumps({"schema_errors": len(schema_rows), "verdict": "fail"}))
+            spark.stop()
+            return 2
+
     dims = {}
     for name in ("dim_roles", "dim_tools", "dim_conversations", "allowed_transitions"):
         p = f"{args.input}/{name}"

@@ -59,6 +59,7 @@ def validate_transcripts_fused(
     partition_col: str = "ds",
     valid_roles: list[str] | None = None,
     persist_violations: bool = False,
+    expected_schema: dict[str, str] | None = None,
 ) -> ValidationResult:
     if scalar_rules is None:
         scalar_rules = rulesets.transcript_scalar_rules()
@@ -203,6 +204,14 @@ def validate_transcripts_fused(
     )
 
     violations = turn_violations.select(*VIOLATION_COLS)
+    if expected_schema is not None:
+        # P17: table-grain schema contract (driver-side metadata, no scan)
+        from ..operators.schema import schema_check
+
+        sv = schema_check(facts, expected_schema).withColumn(
+            partition_col, F.lit(None).cast(facts.schema[partition_col].dataType)
+        )
+        violations = violations.unionByName(sv.select(*VIOLATION_COLS))
     if "dim_conversations" in dims:
         # J6 rides its own map-side-combined distinct over the raw scan —
         # post-combine volume is one row per conversation, NOT fact-sized

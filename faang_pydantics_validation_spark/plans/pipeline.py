@@ -55,8 +55,14 @@ def validate_transcripts(
     partition_col: str = "ds",
     persist_violations: bool = False,
     window_context: DataFrame | None = None,
+    expected_schema: dict[str, str] | None = None,
 ) -> ValidationResult:
     """Run the full rule suite over a transcripts DataFrame.
+
+    expected_schema (P17): declared column->type contract; unknown/missing/
+    retyped columns emit scope='table' violations (driver-side metadata
+    check, zero data read). Table-scope rows don't enter per-partition
+    verdicts (they have no ds); the CLI gates on them before validating.
 
     persist_violations=True materializes the violation rows once so the
     verdict aggregation (and any later consumer) doesn't recompute the
@@ -74,6 +80,14 @@ def validate_transcripts(
     )
 
     parts = [scalar_v.select(*VIOLATION_COLS)]
+
+    if expected_schema is not None:
+        from ..operators.schema import schema_check
+
+        sv = schema_check(facts, expected_schema).withColumn(
+            partition_col, F.lit(None).cast(facts.schema[partition_col].dataType)
+        )
+        parts.append(sv.select(*VIOLATION_COLS))
 
     if "dim_tools" in dims:
         parts.append(
