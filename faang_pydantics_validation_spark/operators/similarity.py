@@ -149,20 +149,31 @@ def cosine_topk_ivf(
     c_vec: str = "embedding",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """IVF-style ANN: nlist coarse centroids = deterministic corpus sample
-    (every (n/nlist)-th vector by id order); corpus rows assigned to their
-    nearest centroid (one broadcast score pass); each query scans its
-    nprobe nearest centroid lists. Recall grows with nprobe/nlist."""
-    cent = (
+    """IVF-style ANN: nlist coarse centroids = deterministic hash sample of
+    the corpus (the nlist rows with the smallest xxhash64(id) — uniform,
+    seed-free, order-independent); corpus rows assigned to their nearest
+    centroid (one broadcast score pass); each query scans its nprobe
+    nearest centroid lists. Recall grows with nprobe/nlist.
+
+    Scale note: the sample is a TakeOrderedAndProject (per-partition
+    top-nlist + tiny driver merge), NOT a partition-less window — the
+    previous row_number().over(Window.orderBy(...)) forced the whole
+    corpus through one task, a scale-killer at 10^9 vectors (asserted
+    against in tests). No eager count() either."""
+    sample = (
         corpus.select(F.col(c_id).alias("cid"), F.col(c_vec).alias("v"))
-        .withColumn("rn", F.row_number().over(Window.orderBy("cid")))
-    )
-    n = cent.count()
-    step = max(1, n // nlist)
-    centroids = F.broadcast(
-        cent.where((F.col("rn") - 1) % step == 0)
+        .withColumn("__h", F.xxhash64(F.col("cid")))
+        .orderBy("__h", "cid")
         .limit(nlist)
-        .select(F.col("rn").alias("centroid_id"), F.col("v").alias("centv"), _norm(F.col("v")).alias("centn"))
+    )
+    # row_number here runs over the nlist-row sample only — trivial
+    centroids = F.broadcast(
+        sample.withColumn("centroid_id", F.row_number().over(Window.orderBy("__h", "cid")))
+        .select(
+            "centroid_id",
+            F.col("v").alias("centv"),
+            _norm(F.col("v")).alias("centn"),
+        )
     )
 
     def assign(df, vec, nn):

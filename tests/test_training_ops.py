@@ -105,6 +105,28 @@ def test_bruteforce_topk(spark, vectors):
         assert all(r["corpus_id"] != q for r in rs)
 
 
+def test_ivf_centroid_selection_is_distributed(spark, vectors):
+    """Scale guard: centroid sampling must plan as TakeOrderedAndProject
+    (per-partition top-nlist + driver merge), never a partition-less
+    window over the whole corpus — the only unpartitioned windows allowed
+    are the trivial ones over the already-limited nlist-row sample
+    (recognizable by their __h hash-order key)."""
+    import re
+
+    queries = vectors.where("vec_id < 10")
+    df = SIM.cosine_topk_ivf(queries, vectors, k=3, nlist=8, nprobe=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    unpartitioned = [
+        spec
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if " NULLS " in spec.split(",")[0]  # first arg is an ORDER key => no partition keys
+    ]
+    assert unpartitioned, "expected the post-limit sample windows to exist"
+    for spec in unpartitioned:
+        assert spec.lstrip().startswith("__h#"), f"corpus-wide global window found: {spec}"
+
+
 def test_lsh_and_ivf_recall_vs_bruteforce(spark, vectors):
     queries = vectors.where("vec_id < 10")
     exact = SIM.cosine_topk_bruteforce(queries, vectors, k=3).collect()
