@@ -15,12 +15,17 @@ relationship errors that the reference's golden output
              non-numeric Sampling Weight) with an ontology label-mismatch
              warning ('normal' vs 'absent' for PATO:0000462)
 
-Rules are declared with this engine's generic kinds — no reference code.
+Scalar/array/cross-field rules are DATA, loaded from the checked-in
+ruleset documents (rulesets/*.rules.json — the analog of the reference's
+rulesets-json/*.json), proving "one engine, many rulesets" without test
+code declaring rules; the join/ontology relationship passes stay code, as
+they do in the reference.
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -34,20 +39,15 @@ from faang_pydantics_validation_spark.operators.ontology import (
     prefix_route_rule,
 )
 from faang_pydantics_validation_spark.rules.compiler import compile_row_rules
-from faang_pydantics_validation_spark.rules.spec import RuleSpec
+from faang_pydantics_validation_spark.rules.loader import load_ruleset
 
 REF = "/root/reference/json_files/new_example.json"
 GOLDEN = "/root/reference/validation_results.json"
+RULESETS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "rulesets")
 
-SECONDARY_PROJECTS = [
-    "AQUA-FAANG", "BovReg", "GENE-SWitCH", "Bovine-FAANG", "EFFICACE",
-    "GEroNIMO", "RUMIGEN", "Equine-FAANG", "Holoruminant", "USPIGFAANG",
-]
-TPH_TERMS = [
-    "OBI_0100026", "OBI_0001479", "OBI_0001468", "OBI_0002127",
-    "OBI_0302716", "OBI_0001876", "CLO_0000031", "NCIT_C172259",
-    "restricted access",
-]
+
+def _ruleset(name: str):
+    return load_ruleset(os.path.join(RULESETS, f"{name}.rules.json"))
 
 
 @pytest.fixture(scope="module")
@@ -77,20 +77,11 @@ def test_organism_sheet_parity(spark, ref_data, golden):
         "child_of array<string>",
     ).withColumn("conv_id", F.col("name")).withColumn("turn_idx", F.lit(0))
 
-    rules = [
-        RuleSpec("R_secondary_project", "enum", ("secondary_project",),
-                 params={"values": SECONDARY_PROJECTS}, skip_sentinels=True),
-        # organism material must map to its fixed term (standard_ruleset.py:49-70)
-        RuleSpec("R_material_term", "consistency_map", ("material", "term"),
-                 params={"mapping": {"organism": "OBI_0100026"}}),
-        RuleSpec("R_birth_date", "date_by_unit", ("birth_date", "unit"),
-                 params={"formats": {"YYYY-MM": r"^[12]\d{3}-(0[1-9]|1[0-2])$"}}),
-        # recommended fields -> warning when missing (base_validator.py:91-103)
-        RuleSpec("W_breed", "required", ("breed",), severity="warning"),
-        RuleSpec("W_breed_term", "required", ("breed_term",), severity="warning"),
-        # child_of cardinality <= 2 (organism_ruleset.py:249-260)
-        RuleSpec("R_child_of_card", "array_size", ("child_of",), params={"max": 2}),
-    ]
+    # enum/consistency_map/date_by_unit/required-warnings/array_size rules
+    # loaded as data (reference analogs cited in rulesets/organism.rules.json
+    # provenance: standard_ruleset.py:49-70, base_validator.py:91-103,
+    # organism_ruleset.py:249-260)
+    rules = _ruleset("organism")
     v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
     by_sample: dict[str, dict[str, set]] = {}
     for r in v.collect():
@@ -147,11 +138,7 @@ def test_organoid_sheet_parity(spark, ref_data, golden):
 
     # X3: freezing date+protocol required unless method == 'fresh'
     x3 = compile_row_rules(
-        df,
-        [RuleSpec("R_freezing", "conditional_required",
-                  ("freezing_method", "freezing_date", "freezing_protocol"),
-                  params={"unless_values": ["fresh"]})],
-        key_cols=("conv_id", "turn_idx"), partition_col=None,
+        df, _ruleset("organoid"), key_cols=("conv_id", "turn_idx"), partition_col=None
     )
     assert x3.count() == 0  # both records are 'fresh' -> no requirement
 
@@ -185,11 +172,7 @@ def test_teleostei_post_hatching_parity(spark, ref_data, golden):
         "ds", F.lit("d")
     )
 
-    rules = [
-        RuleSpec("R_term_source_enum", "enum", ("term",), params={"values": TPH_TERMS}),
-        RuleSpec("R_sampling_weight", "numeric", ("sampling_weight",),
-                 params={"min": 0}, skip_sentinels=True),
-    ]
+    rules = _ruleset("teleostei_post_hatching")
     v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
     by_sample: dict[str, set] = {}
     for r in v.collect():
