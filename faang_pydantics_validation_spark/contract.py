@@ -471,6 +471,19 @@ def q_minhash_lsh_documents(spark, sf_dir):
     return DD.minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.05)
 
 
+def q_minhash_jaccard_verified(spark, sf_dir):
+    """MinHash+LSH in its exact-recall configuration (rows-per-band=1, 64
+    bands: a pair with Jaccard j is a candidate with prob 1-(1-j)^64, i.e.
+    a miss at the 0.5 threshold needs (1-j)^64 <= 2^-64) followed by exact
+    Jaccard verification — so the output EQUALS the brute ngram-Jaccard
+    pair set and gets a value-exact DuckDB oracle, unlike the banded
+    production config above (rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=64, threshold=0.5, verify=True
+    )
+
+
 def q_simhash_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(docs, max_hamming=12, n_bands=4)
@@ -544,6 +557,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_norm_stats": q_embedding_norm_stats,
     "multimodal_meta": q_multimodal_meta,
     "minhash_lsh_documents": q_minhash_lsh_documents,
+    "minhash_jaccard_verified": q_minhash_jaccard_verified,
     "simhash_documents": q_simhash_documents,
     "ann_ivf": q_ann_ivf,
     "approx_distinct_quantiles": q_approx_distinct_quantiles,

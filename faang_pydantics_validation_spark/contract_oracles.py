@@ -329,6 +329,35 @@ ORACLES: dict[str, str] = {
         FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(common / (sa.sz + sb.sz - common)::double, 6) >= 0.05
     """,
+    "minhash_jaccard_verified": r"""
+        -- exact twin of the MinHash exact-recall configuration: candidate
+        -- recall is 1.0 at threshold 0.5 (see q_minhash_jaccard_verified),
+        -- and the candidates are verified with exact Jaccard, so the output
+        -- is precisely the ngram-Jaccard pair set (no max_df cap: the
+        -- verification pass sizes over the FULL shingle sets)
+        WITH norm AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+          FROM documents
+        ),
+        words AS (SELECT doc_id, string_split(t, ' ') ws FROM norm),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                      ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END sh
+          FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) i
+                FROM words)
+        ),
+        sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(common / (sa.sz + sb.sz - common)::double, 6) jaccard
+        FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(common / (sa.sz + sb.sz - common)::double, 6) >= 0.5
+    """,
     "text_quality": r"""
         WITH b AS (
           SELECT doc_id, text, len(text) n_chars,
