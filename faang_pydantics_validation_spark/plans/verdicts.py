@@ -172,3 +172,80 @@ def export_valid(
             ),
         ).alias("tool_url"),
     )
+
+
+def _term_to_url(term) -> "F.Column":
+    """validation_utils.py:18-31 / organism_validator.py:37-45: '' for
+    blank/'restricted access', else one '_'->':' normalization and an OBO
+    PURL with ':'->'_'."""
+    from ..rules.library import norm_term_colon
+
+    t = F.trim(term.cast("string"))
+    return F.when(
+        t.isNull() | (t == "") | (t == "restricted access"), F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit("http://purl.obolibrary.org/obo/"),
+            F.regexp_replace(norm_term_colon(t), ":", "_"),
+        )
+    )
+
+
+def export_valid_structured(
+    facts: DataFrame,
+    violations: DataFrame,
+    partition_col: str = "ds",
+) -> DataFrame:
+    """S7, full structural analog of export_to_biosample_format
+    (organism_validator.py:36-95 via unified_validator.py:252-269): each
+    VALID turn becomes a nested
+        {characteristics: {name: [{text[, ontologyTerms][, unit]}...]},
+         relationships: [{type, target}]}
+    record. Characteristics with no value are NULL structs (dropped by
+    to_json, matching the reference's key omission); the conversation
+    membership is the relationship edge, as child_of is in the reference.
+    Pure column expressions — the nesting costs no shuffle."""
+    bad_keys = (
+        violations.where((F.col("scope") == "turn") & (F.col("severity") == "error"))
+        .select("conv_id", "turn_idx")
+        .distinct()
+    )
+    valid = facts.join(bad_keys, on=["conv_id", "turn_idx"], how="left_anti")
+    text_entry = F.array(F.struct(F.col("text").cast("string").alias("text")))
+    role_entry = F.when(
+        F.col("role").isNotNull() & (F.trim("role") != ""),
+        F.array(F.struct(F.col("role").cast("string").alias("text"))),
+    )
+    tool_entry = F.when(
+        F.col("tool").isNotNull() & (F.trim("tool") != ""),
+        F.array(
+            F.struct(
+                F.col("tool").cast("string").alias("text"),
+                F.array(_term_to_url(F.col("tool"))).alias("ontologyTerms"),
+            )
+        ),
+    )
+    ts_entry = F.array(
+        F.struct(
+            F.col("ts").cast("string").alias("text"),
+            F.lit("YYYY-MM-DD HH:MM:SS").alias("unit"),
+        )
+    )
+    characteristics = F.struct(
+        role_entry.alias("role"),
+        text_entry.alias("text"),
+        tool_entry.alias("tool"),
+        ts_entry.alias("timestamp"),
+    )
+    relationships = F.array(
+        F.struct(F.lit("member of").alias("type"), F.col("conv_id").alias("target"))
+    )
+    return valid.select(
+        "conv_id",
+        "turn_idx",
+        partition_col,
+        F.struct(
+            characteristics.alias("characteristics"),
+            relationships.alias("relationships"),
+        ).alias("export_format"),
+    )
