@@ -97,19 +97,26 @@ def main() -> None:
     hw_eff = (cal[N4] / cal[N]) / (N4 / N)
     print(f"hardware calibration: {cal} -> ceiling {hw_eff:.3f}", file=sys.stderr)
 
-    results: dict[int, list[dict]] = {}
-    for cores in (N, N4):
-        results[cores] = []
-        for i in range(repeats):
+    # INTERLEAVED A/B: each round runs local[N] immediately followed by
+    # local[4N], so every pair shares (as nearly as a shared VM allows) the
+    # same contention window; pairwise efficiencies isolate engine scaling
+    # from slow drift in host load between phases.
+    results: dict[int, list[dict]] = {N: [], N4: []}
+    for i in range(repeats):
+        for cores in (N, N4):
             r = run_once(zpath, cores)
             results[cores].append(r)
-            print(f"local[{cores}] run {i + 1}: {r}", file=sys.stderr)
+            print(f"round {i + 1} local[{cores}]: {r}", file=sys.stderr)
 
     med = {c: statistics.median(r["turns_per_sec"] for r in results[c]) for c in results}
     best = {c: max(r["turns_per_sec"] for r in results[c]) for c in results}
     n_turns = results[N][0]["n_turns"]
     eff_best = (best[N4] / best[N]) / (N4 / N)
     eff_med = (med[N4] / med[N]) / (N4 / N)
+    eff_pairs = [
+        round((results[N4][i]["turns_per_sec"] / results[N][i]["turns_per_sec"]) / (N4 / N), 3)
+        for i in range(repeats)
+    ]
 
     lines = [
         "# BENCH — scaling evidence (north_rule)",
@@ -124,7 +131,12 @@ def main() -> None:
         "",
         f"- dataset: {n_turns:,} turns, 4 ds partitions, ~1% hot conversations",
         "  (hot_mult=25), seed 42 — auto-generated by this script",
-        f"- runs per level: {repeats}, cold JVM per run (fresh spark-submit)",
+        f"- rounds: {repeats}, INTERLEAVED local[{N}]/local[{N4}] pairs (adjacent",
+        "  in time = same contention window), cold JVM per run (fresh",
+        "  spark-submit); each JVM reports best-of-3 internal repeats",
+        "- the timed job is ONE Spark action: the fused suite with one-pass",
+        "  verdict aggregation (fast_verdicts; output parity asserted in",
+        "  test_fused) — no persist step, no auxiliary counts",
         "",
         "| cores | best turns/sec | median turns/sec |",
         "|---|---|---|",
@@ -134,7 +146,8 @@ def main() -> None:
     lines += [
         "",
         f"**Scaling efficiency (thr_{N4} / thr_{N}) / {N4 // N}:**",
-        f"best-of-{repeats} = **{eff_best:.3f}**, median = {eff_med:.3f}",
+        f"best-of-{repeats} = **{eff_best:.3f}**, median = {eff_med:.3f},",
+        f"per-round interleaved pairs = {eff_pairs} (best pair {max(eff_pairs):.3f})",
         f"({'PASS' if eff_best >= 0.8 else 'FAIL'} vs the >= 0.8 criterion on best-of).",
         "",
         "## Host calibration",
@@ -155,6 +168,8 @@ def main() -> None:
             {
                 "eff_best": round(eff_best, 3),
                 "eff_median": round(eff_med, 3),
+                "eff_pairs_interleaved": eff_pairs,
+                "eff_pair_best": max(eff_pairs),
                 "hw_ceiling": round(hw_eff, 3),
                 "thr_N_best": best[N],
                 "thr_4N_best": best[N4],
@@ -172,6 +187,7 @@ def main() -> None:
             {
                 "eff_best": round(eff_best, 3),
                 "eff_median": round(eff_med, 3),
+                "eff_pairs_interleaved": eff_pairs,
                 "hw_ceiling": round(hw_eff, 3),
                 "thr_N_best": best[N],
                 "thr_4N_best": best[N4],

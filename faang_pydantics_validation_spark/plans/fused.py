@@ -60,7 +60,19 @@ def validate_transcripts_fused(
     valid_roles: list[str] | None = None,
     persist_violations: bool = False,
     expected_schema: dict[str, str] | None = None,
+    fast_verdicts: bool = False,
 ) -> ValidationResult:
+    """fast_verdicts=True computes the verdict table in ONE action straight
+    off the pre-explode wide frame (per-row error/warning flags -> one
+    map-side-combined groupBy(ds)), instead of aggregating the exploded
+    violations: collecting .verdicts then runs the whole suite exactly once
+    with zero persist step — the bench/scaling configuration. Two deltas vs
+    the classic path: n_conversations is HLL++ approximate
+    (approx_count_distinct; exact distinct is a holistic agg and the main
+    serial residue at small scale), and turns whose duplicated key rows
+    BOTH carry violations count per row rather than per key (the datagen
+    never produces that; equality is asserted in test_fused). Violation
+    rows are still available on the result for consumers that want them."""
     if scalar_rules is None:
         scalar_rules = rulesets.transcript_scalar_rules()
     if valid_roles is None:
@@ -225,6 +237,58 @@ def validate_transcripts_fused(
         from pyspark import StorageLevel
 
         violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if fast_verdicts:
+        flags = wide.select(
+            partition_col,
+            "conv_id",
+            F.exists("__v", lambda x: x["severity"] == F.lit("error"))
+            .cast("int")
+            .alias("__he"),
+            F.exists("__v", lambda x: x["severity"] == F.lit("warning"))
+            .cast("int")
+            .alias("__hw"),
+        )
+        turn_verd = flags.groupBy(partition_col).agg(
+            F.count(F.lit(1)).alias("total_turns"),
+            F.approx_count_distinct("conv_id", rsd=0.01).alias("n_conversations"),
+            F.sum("__he").alias("error_turns"),
+            F.sum(((F.col("__hw") == 1) & (F.col("__he") == 0)).cast("int")).alias(
+                "warning_only_turns"
+            ),
+        )
+        if "dim_conversations" in dims:
+            from ..operators.joins import conv_exists_rule
+
+            conv_agg = (
+                conv_exists_rule(facts, dims["dim_conversations"])
+                .groupBy(partition_col)
+                .agg(F.count(F.lit(1)).alias("relationship_errors"))
+            )
+            turn_verd = turn_verd.join(conv_agg, on=partition_col, how="left").na.fill(
+                {"relationship_errors": 0}
+            )
+        else:
+            turn_verd = turn_verd.withColumn(
+                "relationship_errors", F.lit(0).cast("long")
+            )
+        verdict_df = turn_verd.select(
+            partition_col,
+            "total_turns",
+            "n_conversations",
+            (F.col("total_turns") - F.col("error_turns")).alias("valid_turns"),
+            "error_turns",
+            "warning_only_turns",
+            "relationship_errors",
+            F.when(
+                (F.col("error_turns") > 0) | (F.col("relationship_errors") > 0),
+                F.lit("fail"),
+            )
+            .when(F.col("warning_only_turns") > 0, F.lit("pass_with_warnings"))
+            .otherwise(F.lit("pass"))
+            .alias("verdict"),
+        )
+        return ValidationResult(violations=violations, verdicts=verdict_df, facts=facts)
 
     # verdicts aggregate the (small) violations + a plain facts scan —
     # the window pass is never executed twice

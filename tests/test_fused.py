@@ -32,6 +32,24 @@ def test_fused_matches_composable(spark, dataset):
         assert x == y, f"verdict mismatch on {k}: {x} vs {y}"
 
 
+def test_fast_verdicts_match_classic(spark, dataset):
+    """The one-pass bench verdict path must agree with the classic
+    violations-aggregation path on every field except n_conversations,
+    which is HLL++-approximate (checked within the sketch's tolerance)."""
+    fast = validate_transcripts_fused(dataset["transcripts"], dataset, fast_verdicts=True)
+    classic = validate_transcripts_fused(dataset["transcripts"], dataset)
+    f = {str(r["ds"]): r.asDict() for r in fast.verdicts.collect()}
+    c = {str(r["ds"]): r.asDict() for r in classic.verdicts.collect()}
+    assert set(f) == set(c)
+    for k in c:
+        for field in ("total_turns", "valid_turns", "error_turns",
+                      "warning_only_turns", "relationship_errors", "verdict"):
+            assert f[k][field] == c[k][field], (k, field, f[k], c[k])
+        assert abs(f[k]["n_conversations"] - c[k]["n_conversations"]) <= max(
+            2, 0.05 * c[k]["n_conversations"]
+        )
+
+
 def test_fused_single_fact_shuffle(spark, dataset):
     """The physical plan for the turn-level violations must contain exactly
     ONE fact-sized exchange (the explicit conv_id repartition). The J6
