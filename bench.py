@@ -77,9 +77,10 @@ def main() -> None:
         for n in ("dim_roles", "dim_tools", "dim_conversations", "allowed_transitions")
     }
     n_turns = facts.count()
+    # same one-action configuration bench_scaling measures (fast_verdicts;
+    # parity with the classic path asserted in test_fused)
     t0 = time.time()
-    res = validate_transcripts(facts, dims, persist_violations=True)
-    _force(res.violations)
+    res = validate_transcripts(facts, dims, fast_verdicts=True)
     res.verdicts.collect()
     val_wall = time.time() - t0
     timings["transcript_validation"] = round(val_wall, 3)
