@@ -463,6 +463,34 @@ def q_multimodal_meta(spark, sf_dir):
     return MM.decode_media_meta(media)
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one row per sampled frame index (every 2nd
+    frame). n_frames comes out of the binary header via the mapInPandas
+    decoder, so this exercises the full pack->decode->explode chain with an
+    exact oracle (n_frames == doc_id % 5 + 1 by construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.pack_fake_media(docs)
+    return MM.frame_sample(media, every=2)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup via hyperplane-LSH buckets + in-bucket
+    exact cosine. The testdata embeddings are near-orthogonal (max pairwise
+    cosine ~0.51), so the query plants duplicates: vectors with vec_id < 50
+    are re-appended under vec_id+10000. Identical vectors land in the SAME
+    LSH bucket by construction (equal sign bits), so recall at the 0.95
+    threshold is provably 1.0 and the output equals the brute-force pair
+    set — the all-pairs DuckDB twin (O(n^2) is fine for the oracle at
+    sf0.01; the Spark side stays bucketed)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dups = emb.where("vec_id < 50").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return DD.embedding_cosine_dups(emb.unionByName(dups), threshold=0.95)
+
+
 # ----- Spark-only (no SQL oracle -> driver rows-only check) ----------------
 
 
@@ -556,6 +584,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_norm_stats": q_embedding_norm_stats,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "embedding_near_dups": q_embedding_near_dups,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "minhash_jaccard_verified": q_minhash_jaccard_verified,
     "simhash_documents": q_simhash_documents,

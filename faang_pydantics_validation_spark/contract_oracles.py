@@ -429,6 +429,31 @@ ORACLES: dict[str, str] = {
                round(avg(nrm), 4) avg_norm
         FROM e GROUP BY label
     """,
+    "multimodal_frame_sample": """
+        -- n_frames is doc_id % 5 + 1 by pack_fake_media construction
+        -- (doc_id >= 0); sampled frames = 0, 2, 4, ... < n_frames
+        SELECT doc_id,
+               cast(doc_id % 5 + 1 AS int) n_frames,
+               cast(unnest(range(0, doc_id % 5 + 1, 2)) AS int) frame_idx
+        FROM documents
+    """,
+    "embedding_near_dups": """
+        -- brute-force all-pairs twin of the LSH-bucketed Spark operator,
+        -- over the same duplicate-planted input (vec_id < 50 re-appended
+        -- at vec_id+10000); exact because identical vectors share a bucket
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 50
+        ),
+        p AS (
+          SELECT a.vec_id id_a, b.vec_id id_b,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT * FROM p WHERE cosine >= 0.95
+    """,
     "multimodal_meta": """
         -- NOTE: body_sum here is a per-character codepoint sum while the
         -- Spark decoder sums UTF-8 bytes — equal only because the testdata
