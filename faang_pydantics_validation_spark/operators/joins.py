@@ -76,10 +76,17 @@ def conv_exists_rule(
 ) -> DataFrame:
     """J6 conversation-scope: conv_id must be registered
     (BioSamples registry analog, generic_validator_classes.py:306-370).
-    Distinct conv_ids first (tiny), then broadcast anti-join — emits ONE
-    violation per unknown conversation, not one per turn."""
-    keys = ["conv_id"] + (["ds"] if ds else [])
-    convs = facts.select(*keys).distinct()
+    Per-conversation aggregate first (tiny, map-side combined), then
+    broadcast anti-join — emits ONE violation per unknown conversation
+    (not one per turn, and not one per (conversation, ds)); the emitted ds
+    is the conversation's first row's in stable turn order, matching the
+    fused path's first-window-row emission."""
+    if ds:
+        convs = facts.groupBy("conv_id").agg(
+            F.min_by("ds", F.struct("turn_idx", "ts", "ds")).alias("ds")
+        )
+    else:
+        convs = facts.select("conv_id").distinct()
     missing = convs.join(
         F.broadcast(dim_conversations.select("conv_id").distinct()),
         on="conv_id",
@@ -172,11 +179,12 @@ def uniqueness_rule(
     The key is GLOBAL (ds is NOT part of it): a duplicated (conv_id,
     turn_idx) is a duplicate even when its copies land in different ds
     partitions (north_star: 'uniqueness of (conv_id, turn_idx)'). The
-    emitted ds is the group minimum — the same row the fused path emits on
-    (its first row ordered by (ds, ts))."""
+    emitted ds is the key's first occurrence in (ts, ds) order — the same
+    row the fused path emits on (its first row under the shared window
+    sort), kept deterministic by the ds tiebreak."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     if ds:
-        aggs.append(F.min("ds").alias("ds"))
+        aggs.append(F.min_by("ds", F.struct("ts", "ds")).alias("ds"))
     dups = facts.groupBy(*key_cols).agg(*aggs).where(F.col("__n") > 1)
     return _emit(dups, rule_id, severity, "turn", F.col("__n"), ds)
 

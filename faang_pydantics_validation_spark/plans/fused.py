@@ -2,19 +2,22 @@
 fact table with ONE fact-sized shuffle.
 
 Plan shape (what .explain shows):
-    scan -> exchange hashpartitioning(conv_id) -> sort(conv_id, turn_idx, ts)
-         -> window lags (prev_idx/prev_ts/prev_role)
+    scan -> broadcast joins (dim_tools x2 + dim_conversations tag)
+         -> ONE wide projection: every scalar/dim rule -> struct-or-null,
+            packed array                                  [pre-shuffle]
+         -> exchange hashpartitioning(conv_id)
+         -> ONE sort(conv_id, turn_idx, ts, ds)
+         -> window lags (prev_idx/prev_ts/prev_role) + row_number
          -> window count over (conv_id, turn_idx)       [uniqueness — same
-            exchange reused: HashPartitioning(conv_id) satisfies the
-            ClusteredDistribution of the (conv_id, turn_idx) window]
-         -> broadcast joins (dim_tools x2: existence + label)
-         -> ONE wide projection: every rule -> struct-or-null, packed array
+            exchange AND sort: HashPartitioning(conv_id) satisfies the
+            (conv_id, turn_idx) clustering; the frame is unordered]
          -> violations: filter size>0 + explode        (no further shuffle)
          -> verdicts:   per-row flags -> groupBy(ds)   (partial-agg shuffle
                         of a few KB per task)
-Conversation-existence (J6) rides the same pass: the first row of each
-conversation (row_number()==1 — free under the same window sort) is
-broadcast-anti-joined against dim_conversations.
+Conversation-existence (J6) rides the same pass: rows are tagged
+__conv_known pre-shuffle (broadcast left join) and the violation is
+emitted on the conversation's first window row (row_number()==1, free
+under the shared sort) — J6 adds no scan, no exchange, no distinct.
 
 Versus plans.pipeline (the composable per-operator path, kept for clarity
 and used by the unit tests): same outputs (asserted equal in
@@ -118,42 +121,75 @@ def validate_transcripts_fused(
                 _vstruct("R_tool_label", "warning", payload),
             )
         )
+    # J6 conversation existence is ALSO tagged pre-shuffle (broadcast left
+    # join -> one boolean over the wire); the single emission per unknown
+    # conversation happens on its first window row below, so J6 costs no
+    # extra scan, exchange, or distinct.
+    slim_cols = ["conv_id", "turn_idx", partition_col, "role", "ts"]
+    if "dim_conversations" in dims:
+        dim_convs = F.broadcast(
+            dims["dim_conversations"]
+            .select("conv_id")
+            .distinct()
+            .withColumn("__conv_known", F.lit(True))
+        )
+        pre = pre.join(dim_convs, on="conv_id", how="left")
+        slim_cols.append("__conv_known")
     pre_packed = F.filter(
         F.array(*[s.cast(_VIOLATION_STRUCT) for s in pre_structs]), lambda x: x.isNotNull()
     )
-    slim = pre.select(
-        "conv_id", "turn_idx", partition_col, "role", "ts", pre_packed.alias("__pv")
-    )
+    slim = pre.select(*slim_cols, pre_packed.alias("__pv"))
 
     # ---- one fact-sized exchange on conv_id; HashPartitioning(conv_id)
-    # satisfies the ClusteredDistribution of every window spec below, so
-    # no further fact-sized shuffle is planned.
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    # satisfies the ClusteredDistribution of every window spec below, AND
+    # all window specs share ONE sort: the lag windows order by
+    # (turn_idx, ts, ds) — ds as a deterministic tiebreak — and the
+    # uniqueness count is an unordered frame over (conv_id, turn_idx), so
+    # the planner emits a single SortExec. (A row_number() per key, the
+    # obvious alternative for pick-one-row-per-duplicate, would force a
+    # SECOND full sort of the fact stream — measured at ~2x the window
+    # stage's wall at 57M rows.)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", partition_col)
     # uniqueness key is GLOBAL (conv_id, turn_idx) — no ds — matching
-    # operators/joins.uniqueness_rule; the emission row is the group's
-    # (ds, ts)-first row so the violation's ds == min(ds), identical to
-    # the composable path's groupBy + min(ds)
+    # operators/joins.uniqueness_rule; the emission row is the key's first
+    # row in (ts, ds) order (first-of-key ⇔ the lag row belongs to a
+    # different key, free off the existing lag), so the violation's ds is
+    # the first occurrence's partition — identical to the composable
+    # path's min_by.
     w_key = Window.partitionBy("conv_id", "turn_idx")
-    w_key_rn = Window.partitionBy("conv_id", "turn_idx").orderBy(partition_col, "ts")
-    anno = slim.repartition("conv_id").select(
+    exchanged = slim.repartition("conv_id")
+    anno = exchanged.select(
         "conv_id",
         "turn_idx",
         partition_col,
         "role",
         "ts",
         "__pv",
+        *(["__conv_known"] if "dim_conversations" in dims else []),
         F.lag("turn_idx").over(w).alias("__prev_idx"),
         F.lag("ts").over(w).alias("__prev_ts"),
         F.lag("role").over(w).alias("__prev_role"),
         F.count(F.lit(1)).over(w_key).alias("__key_cnt"),
-        F.row_number().over(w_key_rn).alias("__key_rn"),
+        F.row_number().over(w).alias("__rn"),
     )
 
     structs: list[Column] = []
-    # J10 uniqueness: emitted once per duplicated key (on its first row)
+    if "dim_conversations" in dims:
+        # J6: one violation per unknown conversation, emitted on its first
+        # window row (row_number shares the existing sort — zero extra cost)
+        structs.append(
+            F.when(
+                (F.col("__rn") == 1) & F.col("__conv_known").isNull(),
+                _vstruct("R_conv_known", "error", F.col("conv_id")),
+            )
+        )
+    # J10 uniqueness: emitted once per duplicated key, on its first row
+    # (rows of one key are adjacent under the shared sort, so "first" ⇔
+    # the lagged row is a different key)
     structs.append(
         F.when(
-            (F.col("__key_cnt") > 1) & (F.col("__key_rn") == 1),
+            (F.col("__key_cnt") > 1)
+            & (F.col("__prev_idx").isNull() | (F.col("__prev_idx") != F.col("turn_idx"))),
             _vstruct("R_turn_unique", "error", F.col("__key_cnt")),
         )
     )
@@ -201,16 +237,23 @@ def validate_transcripts_fused(
         F.concat(F.col("__pv"), post_packed).alias("__v"),
     )
 
+    # conversation-scope rows (R_conv_known) ride the same packed array;
+    # their scope/turn_idx are rewritten at explode time, so the whole
+    # violation set — scalar + dim + window + uniqueness + J6 — is one
+    # scan, one exchange, one sort, one window pass.
+    is_conv = F.col("v.rule_id") == "R_conv_known"
     turn_violations = (
         wide.where(F.size("__v") > 0)
         .select("conv_id", "turn_idx", partition_col, F.explode("__v").alias("v"))
         .select(
             "conv_id",
-            "turn_idx",
+            F.when(is_conv, F.lit(None).cast("int"))
+            .otherwise(F.col("turn_idx").cast("int"))
+            .alias("turn_idx"),
             partition_col,
             F.col("v.rule_id").alias("rule_id"),
             F.col("v.severity").alias("severity"),
-            F.lit("turn").alias("scope"),
+            F.when(is_conv, F.lit("conv")).otherwise(F.lit("turn")).alias("scope"),
             F.col("v.observed").alias("observed"),
         )
     )
@@ -224,14 +267,6 @@ def validate_transcripts_fused(
             partition_col, F.lit(None).cast(facts.schema[partition_col].dataType)
         )
         violations = violations.unionByName(sv.select(*VIOLATION_COLS))
-    if "dim_conversations" in dims:
-        # J6 rides its own map-side-combined distinct over the raw scan —
-        # post-combine volume is one row per conversation, NOT fact-sized
-        from ..operators.joins import conv_exists_rule
-
-        violations = violations.unionByName(
-            conv_exists_rule(facts, dims["dim_conversations"]).select(*VIOLATION_COLS)
-        )
 
     if persist_violations:
         from pyspark import StorageLevel
@@ -239,15 +274,25 @@ def validate_transcripts_fused(
         violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
 
     if fast_verdicts:
+        # conv-scope structs don't make a TURN invalid (classic verdicts
+        # filter scope), so they're excluded from the error flag and
+        # counted separately — all in the same aggregation, no join
         flags = wide.select(
             partition_col,
             "conv_id",
-            F.exists("__v", lambda x: x["severity"] == F.lit("error"))
+            F.exists(
+                "__v",
+                lambda x: (x["severity"] == F.lit("error"))
+                & (x["rule_id"] != F.lit("R_conv_known")),
+            )
             .cast("int")
             .alias("__he"),
             F.exists("__v", lambda x: x["severity"] == F.lit("warning"))
             .cast("int")
             .alias("__hw"),
+            F.exists("__v", lambda x: x["rule_id"] == F.lit("R_conv_known"))
+            .cast("long")
+            .alias("__cv"),
         )
         turn_verd = flags.groupBy(partition_col).agg(
             F.count(F.lit(1)).alias("total_turns"),
@@ -256,22 +301,8 @@ def validate_transcripts_fused(
             F.sum(((F.col("__hw") == 1) & (F.col("__he") == 0)).cast("int")).alias(
                 "warning_only_turns"
             ),
+            F.sum("__cv").alias("relationship_errors"),
         )
-        if "dim_conversations" in dims:
-            from ..operators.joins import conv_exists_rule
-
-            conv_agg = (
-                conv_exists_rule(facts, dims["dim_conversations"])
-                .groupBy(partition_col)
-                .agg(F.count(F.lit(1)).alias("relationship_errors"))
-            )
-            turn_verd = turn_verd.join(conv_agg, on=partition_col, how="left").na.fill(
-                {"relationship_errors": 0}
-            )
-        else:
-            turn_verd = turn_verd.withColumn(
-                "relationship_errors", F.lit(0).cast("long")
-            )
         verdict_df = turn_verd.select(
             partition_col,
             "total_turns",
