@@ -223,7 +223,14 @@ def window_rules(
         base = base.unionByName(
             context.select(*keys, "role", "ts").withColumn("__ctx", F.lit(True))
         )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    # __ctx DESC leads the sort so the carried tail ALWAYS precedes every
+    # partition row of its conversation — a late-arriving row whose
+    # (turn_idx, ts) would otherwise sort before the tail still pairs
+    # against it and gets its boundary R_ts_monotonic / R_turn_unique /
+    # contiguity verdict instead of silently demoting the tail to a
+    # follower (which the ~__ctx filter would then drop unpaired). With no
+    # context the column is constant False and the order is unchanged.
+    w = Window.partitionBy("conv_id").orderBy(F.desc("__ctx"), "turn_idx", "ts")
     anno = base.select(
         *keys,
         "role",

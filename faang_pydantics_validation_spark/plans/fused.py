@@ -55,6 +55,31 @@ def _vstruct(rule_id: str, severity: str, observed: Column) -> Column:
     )
 
 
+def _parse_size_bytes(v: str) -> int:
+    s = str(v).strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s)) * mult
+
+
+def _fits_broadcast(dim: DataFrame) -> bool:
+    """Metadata-only size gate: Catalyst's own plan-size estimate vs the
+    session broadcast threshold. No Spark job — reads optimizedPlan stats.
+    Errs on the broadcast side (the historical behavior) if the estimate
+    is unavailable."""
+    try:
+        size = int(dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString())
+        thr = _parse_size_bytes(
+            dim.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+        return thr > 0 and size <= thr
+    except Exception:
+        return True
+
+
 def validate_transcripts_fused(
     facts: DataFrame,
     dims: dict[str, DataFrame],
@@ -64,18 +89,24 @@ def validate_transcripts_fused(
     persist_violations: bool = False,
     expected_schema: dict[str, str] | None = None,
     fast_verdicts: bool = False,
+    conv_dim_broadcast: bool | None = None,
 ) -> ValidationResult:
     """fast_verdicts=True computes the verdict table in ONE action straight
     off the pre-explode wide frame (per-row error/warning flags -> one
     map-side-combined groupBy(ds)), instead of aggregating the exploded
     violations: collecting .verdicts then runs the whole suite exactly once
-    with zero persist step — the bench/scaling configuration. Two deltas vs
+    with zero persist step — the bench/scaling configuration. ONE delta vs
     the classic path: n_conversations is HLL++ approximate
     (approx_count_distinct; exact distinct is a holistic agg and the main
-    serial residue at small scale), and turns whose duplicated key rows
-    BOTH carry violations count per row rather than per key (the datagen
-    never produces that; equality is asserted in test_fused). Violation
-    rows are still available on the result for consumers that want them."""
+    serial residue at small scale). Error/warning counting is key-grain,
+    identical to the classic per_turn aggregation even when both copies of
+    a duplicated key violate (asserted in test_fused). Violation rows are
+    still available on the result for consumers that want them.
+
+    conv_dim_broadcast gates the J6 registry join: True forces the
+    pre-shuffle broadcast tag, False the post-exchange shuffled-hash tag,
+    None (default) auto-picks from Catalyst's size estimate vs
+    spark.sql.autoBroadcastJoinThreshold."""
     if scalar_rules is None:
         scalar_rules = rulesets.transcript_scalar_rules()
     if valid_roles is None:
@@ -121,20 +152,33 @@ def validate_transcripts_fused(
                 _vstruct("R_tool_label", "warning", payload),
             )
         )
-    # J6 conversation existence is ALSO tagged pre-shuffle (broadcast left
-    # join -> one boolean over the wire); the single emission per unknown
-    # conversation happens on its first window row below, so J6 costs no
-    # extra scan, exchange, or distinct.
+    # J6 conversation existence: when the registry dim is broadcast-sized
+    # (dim_tools-like), rows are tagged pre-shuffle (broadcast left join ->
+    # one boolean over the wire). BUT dim_conversations scales with the
+    # corpus (~10^8-10^9 conv_ids at 10^12 turns, multi-GB — the BioSamples
+    # registry analog, generic_validator_classes.py:306-370), so a
+    # size gate (Catalyst plan stats vs autoBroadcastJoinThreshold, or the
+    # explicit conv_dim_broadcast flag) falls back to tagging AFTER the
+    # conv_id exchange via a shuffled-hash join: the fact side already
+    # satisfies HashPartitioning(conv_id), so the plan keeps exactly ONE
+    # fact-sized exchange either way — only the (slim) dim side shuffles.
+    # The single emission per unknown conversation happens on its first
+    # window row below, so J6 costs no extra scan or distinct in either
+    # mode.
     slim_cols = ["conv_id", "turn_idx", partition_col, "role", "ts"]
+    conv_dim = None
     if "dim_conversations" in dims:
-        dim_convs = F.broadcast(
+        conv_dim = (
             dims["dim_conversations"]
             .select("conv_id")
             .distinct()
             .withColumn("__conv_known", F.lit(True))
         )
-        pre = pre.join(dim_convs, on="conv_id", how="left")
-        slim_cols.append("__conv_known")
+        if conv_dim_broadcast is None:
+            conv_dim_broadcast = _fits_broadcast(conv_dim)
+        if conv_dim_broadcast:
+            pre = pre.join(F.broadcast(conv_dim), on="conv_id", how="left")
+            slim_cols.append("__conv_known")
     pre_packed = F.filter(
         F.array(*[s.cast(_VIOLATION_STRUCT) for s in pre_structs]), lambda x: x.isNotNull()
     )
@@ -158,6 +202,11 @@ def validate_transcripts_fused(
     # path's min_by.
     w_key = Window.partitionBy("conv_id", "turn_idx")
     exchanged = slim.repartition("conv_id")
+    if conv_dim is not None and not conv_dim_broadcast:
+        # post-exchange J6 tag: SHUFFLE_HASH keeps the fact side streamed
+        # (no sort, no re-exchange — HashPartitioning(conv_id) is already
+        # satisfied); only the deduplicated conv dim shuffles.
+        exchanged = exchanged.join(conv_dim.hint("shuffle_hash"), on="conv_id", how="left")
     anno = exchanged.select(
         "conv_id",
         "turn_idx",
@@ -185,11 +234,15 @@ def validate_transcripts_fused(
         )
     # J10 uniqueness: emitted once per duplicated key, on its first row
     # (rows of one key are adjacent under the shared sort, so "first" ⇔
-    # the lagged row is a different key)
+    # no lagged row at all (__rn==1) or the lagged row is a different key).
+    # eqNullSafe keeps NULL turn_idx keys (which w_key groups together, and
+    # which the composable groupBy path emits ONCE for) from emitting per
+    # row: lag(turn_idx) is NULL within such a group, and a plain isNull
+    # test would read every row as first-of-key.
+    first_of_key = (F.col("__rn") == 1) | ~F.col("__prev_idx").eqNullSafe(F.col("turn_idx"))
     structs.append(
         F.when(
-            (F.col("__key_cnt") > 1)
-            & (F.col("__prev_idx").isNull() | (F.col("__prev_idx") != F.col("turn_idx"))),
+            (F.col("__key_cnt") > 1) & first_of_key,
             _vstruct("R_turn_unique", "error", F.col("__key_cnt")),
         )
     )
@@ -276,10 +329,17 @@ def validate_transcripts_fused(
     if fast_verdicts:
         # conv-scope structs don't make a TURN invalid (classic verdicts
         # filter scope), so they're excluded from the error flag and
-        # counted separately — all in the same aggregation, no join
+        # counted separately. Error/warning flags are reduced to KEY grain
+        # first — groupBy (ds, conv_id, turn_idx) mirrors the classic
+        # per_turn aggregation exactly, so duplicated keys whose copies
+        # BOTH violate count once per key, not once per row. The key
+        # grouping needs no exchange: HashPartitioning(conv_id) from the
+        # window stage satisfies the clustering, and the final groupBy(ds)
+        # is map-side combined to ~one row per (task, ds).
         flags = wide.select(
             partition_col,
             "conv_id",
+            "turn_idx",
             F.exists(
                 "__v",
                 lambda x: (x["severity"] == F.lit("error"))
@@ -294,8 +354,14 @@ def validate_transcripts_fused(
             .cast("long")
             .alias("__cv"),
         )
-        turn_verd = flags.groupBy(partition_col).agg(
-            F.count(F.lit(1)).alias("total_turns"),
+        keyed = flags.groupBy(partition_col, "conv_id", "turn_idx").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max("__he").alias("__he"),
+            F.max("__hw").alias("__hw"),
+            F.sum("__cv").alias("__cv"),
+        )
+        turn_verd = keyed.groupBy(partition_col).agg(
+            F.sum("__n").alias("total_turns"),
             F.approx_count_distinct("conv_id", rsd=0.01).alias("n_conversations"),
             F.sum("__he").alias("error_turns"),
             F.sum(((F.col("__hw") == 1) & (F.col("__he") == 0)).cast("int")).alias(

@@ -114,3 +114,34 @@ def test_checkpoint_kill_resume_spanning(spark, spanning, tmp_path):
     r2 = CP.run_with_checkpoint(spark, facts, dims, ckpt, rules=rules)
     assert r2["ran"] == ["2026-02-02"] and r2["skipped"] == ["2026-02-01"]
     assert _keyset(CP.load_results(spark, ckpt)["violations"]) == EXPECTED
+
+
+def test_checkpoint_flags_out_of_order_late_arrivals(spark, tmp_path):
+    """A later partition containing a row whose (turn_idx, ts) sorts BEFORE
+    the carried tail must still pair against it (the tail leads the window
+    via the __ctx-desc sort key): cD's day-2 rows replay turn 1 (duplicate
+    key, earlier ts) and then regress to turn 0 — the docstring's 'flagged
+    at the boundary' contract."""
+    rows = [
+        ("cD", 0, D1, "user", "t", None, _ts(D1, 10, 0)),
+        ("cD", 1, D1, "assistant", "t", None, _ts(D1, 10, 1)),
+        # day-2: same turn_idx as the tail but EARLIER ts -> without the
+        # ctx-first sort the tail becomes the follower and gets filtered
+        ("cD", 1, D2, "user", "t", None, _ts(D1, 9, 0)),
+        ("cE", 0, D1, "user", "t", None, _ts(D1, 10, 0)),
+        ("cE", 1, D1, "assistant", "t", None, _ts(D1, 10, 1)),
+        # day-2: turn_idx regresses below the tail with an earlier ts
+        ("cE", 0, D2, "user", "t", None, _ts(D1, 9, 0)),
+    ]
+    facts = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, ds date, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    rules = [RuleSpec("R_role_required", "required", ("role",))]
+    ckpt = str(tmp_path / "ckpt_late")
+    CP.run_with_checkpoint(spark, facts, {}, ckpt, rules=rules)
+    got = _keyset(CP.load_results(spark, ckpt)["violations"])
+    assert ("cD", 1, "R_turn_unique", "error", "2") in got
+    assert ("cD", 1, "R_ts_monotonic", "error", "2026-02-01 09:00:00") in got
+    assert ("cE", 0, "R_ts_monotonic", "error", "2026-02-01 09:00:00") in got
