@@ -286,6 +286,26 @@ def simhash_near_pairs(
     )
 
 
+def exact_dup_canon(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, v, rep): rep = min id among rows carrying an IDENTICAL vector —
+    the exact-duplicate collapse that keeps duplicate clusters out of the
+    quadratic in-bucket passes. One shuffle keyed on the vector value
+    itself (no hash-collision caveat); web-scale embedding corpora are
+    full of byte-identical vectors, which would otherwise all land in one
+    LSH bucket and cost O(cluster^2) pairs. Zero-norm vectors are dropped:
+    their cosine is undefined (NaN) and they can never pass a threshold."""
+    from pyspark.sql import Window
+
+    nonzero = F.exists(F.col(vec_col), lambda x: x != 0)
+    return (
+        df.where(nonzero)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("rep", F.min("id").over(Window.partitionBy("v")))
+    )
+
+
 def embedding_cosine_dups(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -293,21 +313,32 @@ def embedding_cosine_dups(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding near-duplicates: random-hyperplane LSH bucket (n_planes
-    sign bits) then exact cosine within buckets. Deterministic planes from
-    a seeded RNG broadcast as literals. Output (id_a, id_b, cosine 6dp)."""
+    """Embedding near-duplicates: collapse exact-duplicate vectors to one
+    representative (exact_dup_canon), random-hyperplane LSH bucket the
+    representatives (n_planes sign bits), exact cosine within buckets,
+    then re-expand duplicate groups: intra-group pairs score cosine 1.0
+    (identical vectors) and every representative pair fans out to its
+    members. In-bucket work is O(n_unique^2 / 2^n_planes) instead of
+    O(n_total^2 / 2^n_planes) — the output pair set is unchanged (and
+    still quadratic in cluster size, as the true near-dup relation is).
+
+    Deterministic planes from a seeded RNG broadcast as literals. Pass
+    `dim` (embedding width) to keep construction fully lazy; omitted, it
+    is sniffed with a one-row scan. Output (id_a, id_b, cosine 6dp)."""
     import numpy as np
 
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
+    canon = exact_dup_canon(df, id_col, vec_col)
+    if dim is None:
+        dim = int(canon.select(F.size("v").alias("d")).first()["d"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
     def dot_with(plane) -> Column:
         lit = F.array(*[F.lit(float(x)) for x in plane])
         return F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda a, b: a * b),
+            F.zip_with(F.col("v"), lit, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -318,26 +349,51 @@ def embedding_cosine_dups(
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
 
-    norm = F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"), norm.alias("nrm")
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    members = canon.select("rep", "id")
+    reps = canon.where(F.col("id") == F.col("rep")).select(
+        "id", "v", sig.alias("bucket"), norm.alias("nrm")
     )
     cos = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     ) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        base.alias("a")
-        .join(base.alias("b"), on="bucket", how="inner")
+    rep_pairs = (
+        reps.alias("a")
+        .join(reps.alias("b"), on="bucket", how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("rep_a"),
+            F.col("b.id").alias("rep_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    # intra-group: identical vectors — cosine is exactly 1.0 at 6dp
+    # (dot(v,v)/(sqrt*sqrt) rounds to 1.0 within one ulp)
+    intra = (
+        members.alias("a")
+        .join(members.alias("b"), on="rep")
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cos, 6).alias("cosine"),
+            F.lit(1.0).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
-        .distinct()
+        .where(F.lit(float(threshold)) <= 1.0)
     )
+    # inter-group: each qualifying representative pair fans out to all
+    # (member of A) x (member of B) combinations at the reps' cosine
+    inter = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("rep_a"), F.col("id").alias("__ma")), "rep_a"
+        )
+        .join(members.select(F.col("rep").alias("rep_b"), F.col("id").alias("__mb")), "rep_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "cosine",
+        )
+    )
+    return intra.unionByName(inter)

@@ -92,20 +92,34 @@ def cosine_topk_lsh(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k via random-hyperplane LSH. Queries probe their own bucket
     plus (multiprobe) every 1-bit-flip neighbor bucket. Recall < 1.0 by
-    construction; tested against the brute-force baseline."""
+    construction; tested against the brute-force baseline.
+
+    Exact-duplicate corpus vectors are collapsed to one representative
+    before bucketing (dedup.exact_dup_canon) and re-expanded after scoring
+    — a web-scale duplicate cluster costs ONE cosine per probing query
+    instead of O(cluster), and the member copies (identical vectors ⇒
+    identical cosine) are re-ranked into the final top-k, so the result
+    equals the uncollapsed computation. Pass `dim` to keep construction
+    fully lazy; omitted, it is sniffed with a one-row scan."""
     import numpy as np
 
-    dim = int(corpus.select(F.size(c_vec).alias("d")).first()["d"])
+    from .dedup import exact_dup_canon
+
+    if dim is None:
+        dim = int(corpus.select(F.size(c_vec).alias("d")).first()["d"])
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
 
-    c = corpus.select(
-        F.col(c_id).alias("corpus_id"),
-        F.col(c_vec).alias("cv"),
-        _norm(F.col(c_vec)).alias("cn"),
-        _hyperplane_bucket(F.col(c_vec), planes).alias("bucket"),
+    canon = exact_dup_canon(corpus, c_id, c_vec)
+    members = canon.select("rep", F.col("id").alias("corpus_id"))
+    c = canon.where(F.col("id") == F.col("rep")).select(
+        F.col("id").alias("rep"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
+        _hyperplane_bucket(F.col("v"), planes).alias("bucket"),
     )
     qb = queries.select(
         F.col(q_id).alias("query_id"),
@@ -121,14 +135,20 @@ def cosine_topk_lsh(
         probes = F.array(F.col("b0"))
     q = F.broadcast(qb.select("query_id", "qv", "qn", F.explode(probes).alias("bucket")))
 
-    scored = c.join(q, on="bucket", how="inner")
+    rep_scored = (
+        c.join(q, on="bucket", how="inner")
+        .select(
+            "query_id",
+            "rep",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["query_id", "rep"])
+    )
+    scored = rep_scored.join(members, on="rep").select("query_id", "corpus_id", "cosine")
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("corpus_id"))
-    scored = scored.select(
-        "query_id",
-        "corpus_id",
-        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
-    ).dropDuplicates(["query_id", "corpus_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -210,3 +210,77 @@ def test_frame_sample(spark, docs):
     assert sorted(by_doc[4]) == [0, 2, 4]
     # doc 5: n_frames = 1 -> frame 0
     assert by_doc[5] == [0]
+
+def test_embedding_dups_duplicate_cluster_not_quadratic(spark):
+    """Planted duplicate cluster (1,000 identical vectors + 4 distinct):
+    the exact-duplicate collapse must reduce the LSH/in-bucket input to one
+    representative per DISTINCT vector — the in-bucket pass sees 5 rows,
+    not 1004 — while the emitted pair set is still the full (inherently
+    quadratic) duplicate-cluster relation at cosine 1.0."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    distinct = rng.standard_normal((5, 16))
+    rows = [(i, [float(x) for x in distinct[0]]) for i in range(1000)]
+    rows += [(1000 + j, [float(x) for x in distinct[j]]) for j in range(1, 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    canon = DD.exact_dup_canon(df, "vec_id", "embedding")
+    assert canon.where("id = rep").count() == 5
+
+    out = DD.embedding_cosine_dups(df, threshold=0.95, dim=16)
+    assert out.count() == 1000 * 999 // 2
+    row = out.where("id_a = 0 AND id_b = 1").collect()
+    assert row and row[0]["cosine"] == 1.0
+
+
+def test_embedding_dups_collapse_matches_bruteforce(spark, vectors):
+    """Collapse + re-expand == brute-force all-pairs on a mixed set with
+    planted exact duplicates."""
+    import numpy as np
+
+    dups = vectors.where("vec_id < 3").selectExpr("vec_id + 100 AS vec_id", "embedding")
+    df = vectors.unionByName(dups)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in DD.embedding_cosine_dups(df, threshold=0.95, dim=16).collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in df.collect()}
+    ids = sorted(vecs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if round(c, 6) >= 0.95:
+                want[(a, b)] = round(c, 6)
+    assert set(got) == set(want)
+    for k2 in want:
+        assert abs(got[k2] - want[k2]) < 1e-5, (k2, got[k2], want[k2])
+
+
+def test_lsh_topk_with_duplicate_corpus_matches_bruteforce(spark, vectors):
+    """Duplicate corpus copies must survive the rep-collapse: each copy
+    re-expands into the candidate set and the final top-k equals the
+    brute-force ranking (identical vectors => identical cosine, ranked by
+    id)."""
+    dups = vectors.where("vec_id = 0").selectExpr("vec_id + 200 AS vec_id", "embedding")
+    corpus = vectors.unionByName(dups)
+    queries = vectors.where("vec_id = 0")
+    exact = SIM.cosine_topk_bruteforce(queries, corpus, k=3).collect()
+    lsh = SIM.cosine_topk_lsh(queries, corpus, k=3, n_planes=4, dim=16).collect()
+    want = {(r["query_id"], r["corpus_id"], r["rank"]) for r in exact}
+    got = {(r["query_id"], r["corpus_id"], r["rank"]) for r in lsh}
+    assert (0, 200, 1) in want  # the planted copy of the query itself
+    assert got == want
+
+
+def test_ann_construction_is_lazy(spark, vectors):
+    """Constructing the ANN/dedup DataFrames with dim supplied must launch
+    no Spark job (the r2 code ran an eager .first() to sniff the
+    dimension)."""
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup())
+    SIM.cosine_topk_lsh(vectors.where("vec_id < 3"), vectors, k=3, dim=16)
+    DD.embedding_cosine_dups(vectors, dim=16)
+    after = len(sc.statusTracker().getJobIdsForGroup())
+    assert after == before
