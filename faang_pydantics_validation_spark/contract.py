@@ -517,11 +517,32 @@ def q_simhash_documents(spark, sf_dir):
     return DD.simhash_near_pairs(docs, max_hamming=12, n_bands=4)
 
 
+def q_simhash_planted_dups(spark, sf_dir):
+    """SimHash in its value-exact configuration (the embedding_near_dups
+    recipe): docs with doc_id < 50 re-appended at doc_id+10000, threshold
+    hamming == 0. Identical documents provably collide on every bit, and
+    the doc_id<50 subset has no natural sign-pattern collisions (verified
+    at sf0.001/0.01/0.1 — the full 500-doc table has 4, which is why the
+    production-config query above stays rows-only), so the pair set is
+    exactly the 50 planted pairs — a DuckDB-expressible constant relation
+    over the same input."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where("doc_id < 50")
+    dups = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return DD.simhash_near_pairs(docs.unionByName(dups), max_hamming=0, n_bands=4)
+
+
 def q_ann_ivf(spark, sf_dir):
+    """IVF in its value-exact configuration: nprobe == nlist means every
+    query scans every centroid list — the full corpus — so the result
+    EQUALS brute-force top-k (total-ordered), while still exercising the
+    whole IVF plumbing: hash-sampled centroids, corpus assignment, probe
+    routing, per-list scan. The approximate regime (nprobe < nlist) is
+    recall-floor-tested against brute force in pytest
+    (test_ivf_recall_floor)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return SIM.cosine_topk_ivf(emb.where("vec_id < 5"), emb, k=3, nlist=8, nprobe=4)
+    return SIM.cosine_topk_ivf(emb.where("vec_id < 5"), emb, k=3, nlist=8, nprobe=8)
 
 
 def q_approx_distinct_quantiles(spark, sf_dir):
@@ -589,6 +610,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "minhash_jaccard_verified": q_minhash_jaccard_verified,
     "simhash_documents": q_simhash_documents,
+    "simhash_planted_dups": q_simhash_planted_dups,
     "ann_ivf": q_ann_ivf,
     "approx_distinct_quantiles": q_approx_distinct_quantiles,
     "drift_pandas_udf": q_drift_pandas_udf,

@@ -284,3 +284,20 @@ def test_ann_construction_is_lazy(spark, vectors):
     DD.embedding_cosine_dups(vectors, dim=16)
     after = len(sc.statusTracker().getJobIdsForGroup())
     assert after == before
+
+
+def test_ivf_recall_floor(spark):
+    """IVF in its approximate regime (nprobe < nlist) must hold a recall
+    floor vs exact brute-force top-k over the real sf0.01 embeddings —
+    the contract query ann_ivf uses nprobe == nlist (provably exact, see
+    its DuckDB oracle); this guards the regime the oracle can't reach."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where("vec_id < 10")
+    exact = {(r["query_id"], r["corpus_id"])
+             for r in SIM.cosine_topk_bruteforce(queries, emb, k=3).collect()}
+    approx = {(r["query_id"], r["corpus_id"])
+              for r in SIM.cosine_topk_ivf(queries, emb, k=3, nlist=8, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low at sf0.01: {recall}"
