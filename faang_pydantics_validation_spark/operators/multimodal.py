@@ -2,16 +2,24 @@
 `binary` columns with typed metadata; decode / feature-extract / resize /
 frame-sample as Arrow-batched pandas functions over mapInPandas.
 
-The container has no image/audio libraries, so the actual decode is
-STUBBED (gated import -> NotImplementedError) with a deterministic fake
-decoder used by default; the Spark-side plumbing — schema, partitioning,
-UDF signature, Arrow batch shape — is real and tested.
+Three codecs, dispatched on magic bytes inside the one mapInPandas pass:
+- BMP ('BM'): REAL stdlib parse — width/height from the BITMAPINFOHEADER
+  (little-endian i32 at offsets 18/22), pixel-array offset from the file
+  header (u32 at 10); body_sum sums the pixel bytes. n_frames = 1.
+- WAV ('RIFF..WAVE'): REAL stdlib parse — walks the RIFF chunk list for
+  'fmt ' (channels u16@+2, bits-per-sample u16@+14, block-align u16@+12)
+  and 'data'; mapped as width = n_channels, height = bits_per_sample,
+  n_frames = data_bytes / block_align (sample frames per channel);
+  body_sum sums the data-chunk bytes.
+- FAKE: deterministic 16-byte header
+      magic 'FAKE' | u32 width | u32 height | u32 n_frames (big-endian)
+  followed by arbitrary body bytes — the synthetic payload
+  pack_fake_media emits so tests can assert exact values at any scale.
 
-Fake payload format (produced by pack_fake_media): 16-byte header
-    magic 'FAKE' | u32 width | u32 height | u32 n_frames (big-endian)
-followed by arbitrary body bytes. The fake decoder parses the header and
-returns per-frame "features" derived from body byte sums — fully
-deterministic, so tests can assert exact values.
+Compressed formats (JPEG/PNG/MP4/...) need codec libraries this container
+doesn't ship; those magics raise NotImplementedError behind the
+HAVE_REAL_DECODER gate — honest stubbing, the schema/partitioning/Arrow
+plumbing around them is identical to the real paths above.
 """
 
 from __future__ import annotations
@@ -59,11 +67,60 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def _decode_bmp(b: bytes) -> tuple[int, int, int, int]:
+    """Real BMP header parse (stdlib struct, no codec libs): BITMAPFILEHEADER
+    pixel-array offset (u32le @10), BITMAPINFOHEADER width/height
+    (i32le @18/@22; height may be negative for top-down rows)."""
+    if len(b) < 26:
+        raise ValueError("truncated BMP header")
+    (pixel_off,) = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    return w, abs(h), 1, sum(b[pixel_off:])
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, int, int]:
+    """Real WAV/RIFF parse (stdlib struct): walk chunks for 'fmt ' and
+    'data'. width=n_channels, height=bits_per_sample, n_frames=sample
+    frames (data bytes / block align), body_sum=sum of data bytes."""
+    if b[8:12] != b"WAVE":
+        raise ValueError("RIFF without WAVE form")
+    pos, channels, bits, block_align, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            channels, block_align, bits = (
+                struct.unpack_from("<H", body, 2)[0],
+                struct.unpack_from("<H", body, 12)[0],
+                struct.unpack_from("<H", body, 14)[0],
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if channels is None or data is None or not block_align:
+        raise ValueError("WAV missing fmt/data chunk")
+    return channels, bits, len(data) // block_align, sum(data)
+
+
+def _decode_one(b: bytes) -> tuple[int, int, int, int]:
+    if b[:4] == MAGIC:
+        w, h, nf = struct.unpack(">III", b[4:16])
+        return w, h, nf, sum(b[16:])
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:4] == b"RIFF":
+        return _decode_wav(b)
+    # compressed formats need codec libs absent from this container
+    raise NotImplementedError(
+        f"no codec for magic {b[:4]!r} (container ships no image/audio libs; "
+        f"HAVE_REAL_DECODER={HAVE_REAL_DECODER})"
+    )
+
+
 def decode_media_meta(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas decode: parse headers, return typed metadata. Arrow
-    batches in/out; vectorized inside except the per-cell header unpack
-    (bounded, 16 bytes each). Real decoder path raises until the codec
-    libs exist."""
+    """mapInPandas decode: dispatch on magic bytes (FAKE header, real BMP,
+    real WAV — see module docstring), return typed metadata. Arrow batches
+    in/out; the per-cell header unpack is bounded and stdlib-only."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -73,18 +130,11 @@ def decode_media_meta(df: DataFrame, media_col: str = "media", id_col: str = "do
             }
             widths, heights, frames, sums = [], [], [], []
             for raw in pdf[media_col]:
-                b = bytes(raw)
-                if b[:4] != MAGIC:
-                    if HAVE_REAL_DECODER:
-                        raise NotImplementedError(
-                            "real media decode not implemented in this container"
-                        )
-                    raise ValueError("bad magic in media column")
-                w, h, nf = struct.unpack(">III", b[4:16])
+                w, h, nf, s = _decode_one(bytes(raw))
                 widths.append(w)
                 heights.append(h)
                 frames.append(nf)
-                sums.append(sum(b[16:]))
+                sums.append(s)
             out["width"] = pd.Series(widths, dtype="int32")
             out["height"] = pd.Series(heights, dtype="int32")
             out["n_frames"] = pd.Series(frames, dtype="int32")

@@ -301,3 +301,47 @@ def test_ivf_recall_floor(spark):
               for r in SIM.cosine_topk_ivf(queries, emb, k=3, nlist=8, nprobe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low at sf0.01: {recall}"
+
+
+def test_real_bmp_wav_decode(spark):
+    """REAL codec roundtrip (stdlib-only): hand-assembled spec-conformant
+    BMP bytes and a WAV produced by the stdlib wave module go through the
+    same mapInPandas decoder as the FAKE payloads and come back with the
+    true header metadata."""
+    import io
+    import struct
+    import wave
+
+    width, height = 3, 2
+    row = b"\x00\x7f\xff" * width
+    row += b"\x00" * ((4 - len(row) % 4) % 4)  # BMP rows pad to 4 bytes
+    pixels = row * height
+    file_hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )  # negative height = top-down, must still report abs()
+    bmp = file_hdr + info_hdr + pixels
+
+    buf = io.BytesIO()
+    wf = wave.open(buf, "wb")
+    wf.setnchannels(2)
+    wf.setsampwidth(2)
+    wf.setframerate(8000)
+    data = struct.pack("<8h", *range(8))  # 4 sample frames x 2 channels x s16
+    wf.writeframes(data)
+    wf.close()
+    wav = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav))], "doc_id long, media binary"
+    )
+    rows = {r["doc_id"]: r for r in MM.decode_media_meta(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_frames"]) == (3, 2, 1)
+    assert rows[1]["body_sum"] == sum(pixels)
+    assert rows[1]["n_bytes"] == len(bmp)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_frames"]) == (2, 16, 4)
+    assert rows[2]["body_sum"] == sum(data)
+
+    # frame_sample rides the same decode: 4 wav frames, every 2nd -> 0, 2
+    fs = MM.frame_sample(df.where("doc_id = 2"), every=2).collect()
+    assert sorted(r["frame_idx"] for r in fs) == [0, 2]
