@@ -75,7 +75,20 @@ def main(argv: list[str] | None = None) -> int:
             dims[name] = spark.read.parquet(p)
 
     if args.checkpoint:
-        status = CP.run_with_checkpoint(spark, facts, dims, args.checkpoint)
+        try:
+            status = CP.run_with_checkpoint(
+                spark, facts, dims, args.checkpoint,
+                enforce_schema=not args.allow_schema_drift,
+            )
+        except CP.SchemaDriftError as e:
+            # resume-path P17 (belt and braces with the pre-gate above:
+            # programmatic callers and --allow-schema-drift-free resumes
+            # both fail fast here)
+            for r in e.violations:
+                print(f"schema violation: {r['rule_id']} {r['observed']}", file=sys.stderr)
+            print(json.dumps({"schema_errors": len(e.violations), "verdict": "fail"}))
+            spark.stop()
+            return 2
         loaded = CP.load_results(spark, args.checkpoint)
         violations, verdicts_df = loaded["violations"], loaded["verdicts"]
         print(

@@ -54,6 +54,29 @@ class PartitionStatus:
     n_violations: int
     verdict: str
     wall_sec: float
+    schema_hash: str = ""  # P17: table-contract hash the partition passed
+
+
+class SchemaDriftError(RuntimeError):
+    """P17 on the resume path: the input table no longer conforms to the
+    declared column contract (unknown/missing/retyped columns). Raised
+    BEFORE any partition work so a resume over drifted data fails fast
+    (CLI maps this to exit code 2, same as the batch-path gate)."""
+
+    def __init__(self, violations: list):
+        self.violations = violations
+        super().__init__(
+            "schema drift: "
+            + "; ".join(f"{r['rule_id']} {r['observed']}" for r in violations)
+        )
+
+
+def schema_contract_hash(expected: dict[str, str]) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(sorted(expected.items())).encode()
+    ).hexdigest()[:16]
 
 
 def _manifest_dir(checkpoint_dir: str) -> str:
@@ -113,9 +136,19 @@ def run_with_checkpoint(
     rules: list[RuleSpec] | None = None,
     partition_col: str = "ds",
     fail_after: int | None = None,
+    expected_schema: dict[str, str] | None = None,
+    enforce_schema: bool = True,
 ) -> dict:
     """Validate partition-by-partition, checkpointing each. `fail_after`
     kills the run after N partitions (for resume tests).
+
+    P17 rides the resume path too: before ANY partition work the facts
+    schema is asserted against `expected_schema` (default: the transcript
+    input contract) — a resume over a drifted table raises
+    SchemaDriftError instead of silently re-validating partitions under a
+    different column set; the passing contract's hash is recorded in every
+    manifest entry alongside the ruleset hash. Set enforce_schema=False
+    (CLI --allow-schema-drift) to skip.
 
     Returns {"ran": [...], "skipped": [...], "manifest": {...}}.
 
@@ -123,8 +156,16 @@ def run_with_checkpoint(
     checkpoint contract is per-partition lineage; each iteration's filter
     is partition-pruned at the parquet/Iceberg scan, so partition P's run
     reads only partition P's files."""
+    from ..operators.schema import TRANSCRIPT_EXPECTED, schema_check
     from . import rulesets
     from .pipeline import validate_transcripts
+
+    declared = expected_schema if expected_schema is not None else TRANSCRIPT_EXPECTED
+    sh = schema_contract_hash(declared) if enforce_schema else ""
+    if enforce_schema:
+        drift = [r.asDict() for r in schema_check(facts, declared).collect()]
+        if drift:
+            raise SchemaDriftError(drift)
 
     if rules is None:
         rules = rulesets.transcript_scalar_rules()
@@ -184,6 +225,7 @@ def run_with_checkpoint(
                 n_violations=int(n_vio),
                 verdict=str(verdict_row["verdict"]) if verdict_row else "pass",
                 wall_sec=round(time.time() - t0, 3),
+                schema_hash=sh,
             ),
         )
         ran.append(part)

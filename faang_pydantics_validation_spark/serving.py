@@ -76,21 +76,39 @@ def validate_json_batch(
             "exports": [],
         }
 
-    rows = []
-    for r in records:
-        ts = _coerce_ts(r.get("ts"))
-        rows.append(
-            (
-                r.get("conv_id"),
-                r.get("turn_idx"),
-                r.get("role"),
-                r.get("text"),
-                r.get("tool"),
-                ts,
-                _coerce_ds(r.get("ds"), ts),
-            )
-        )
-    facts = spark.createDataFrame(rows, _DDL)
+    # malformed values (unparseable ts/ds strings, wrong-typed fields) are a
+    # REQUEST error, not a crash: the reference's serving surface wraps the
+    # whole validation in except-Exception and returns a structured error
+    # payload (app.py:92-98,144-152); mirror that so the CLI's rc-2
+    # error contract holds instead of dying with a traceback
+    try:
+        rows = []
+        for i, r in enumerate(records):
+            try:
+                ts = _coerce_ts(r.get("ts"))
+                rows.append(
+                    (
+                        r.get("conv_id"),
+                        r.get("turn_idx"),
+                        r.get("role"),
+                        r.get("text"),
+                        r.get("tool"),
+                        ts,
+                        _coerce_ds(r.get("ds"), ts),
+                    )
+                )
+            except (ValueError, TypeError) as e:
+                raise ValueError(f"record {i}: {e}") from e
+        facts = spark.createDataFrame(rows, _DDL)
+    except (ValueError, TypeError) as e:
+        return {
+            "status": "error",
+            "message": f"malformed records: {e}",
+            "violations": [],
+            "verdicts": [],
+            "report": "",
+            "exports": [],
+        }
 
     from .plans.fused import validate_transcripts_fused
     from .plans.verdicts import export_valid_structured, render_report
@@ -98,30 +116,35 @@ def validate_json_batch(
     res = validate_transcripts_fused(
         facts, dims or {}, scalar_rules=rules, persist_violations=True
     )
-    violations = [
-        {**r.asDict(), "ds": str(r["ds"]) if r["ds"] is not None else None}
-        for r in res.violations.orderBy("conv_id", "turn_idx", "rule_id", "observed")
-        .limit(max_rows_returned)
-        .collect()
-    ]
-    verdicts = [
-        {**r.asDict(), "ds": str(r["ds"])} for r in res.verdicts.orderBy("ds").collect()
-    ]
-    rule_counts: dict[tuple, int] = {}
-    for v in violations:
-        k = (v["rule_id"], v["severity"])
-        rule_counts[k] = rule_counts.get(k, 0) + 1
-    exports = [
-        {
-            "sample_name": f"{r['conv_id']}:{r['turn_idx']}",
-            "export_format": r["export_format"],
-        }
-        for r in export_valid_structured(res.facts, res.violations)
-        .select("conv_id", "turn_idx", F.to_json("export_format").alias("export_format"))
-        .orderBy("conv_id", "turn_idx")
-        .limit(max_rows_returned)
-        .collect()
-    ]
+    try:
+        violations = [
+            {**r.asDict(), "ds": str(r["ds"]) if r["ds"] is not None else None}
+            for r in res.violations.orderBy("conv_id", "turn_idx", "rule_id", "observed")
+            .limit(max_rows_returned)
+            .collect()
+        ]
+        verdicts = [
+            {**r.asDict(), "ds": str(r["ds"])} for r in res.verdicts.orderBy("ds").collect()
+        ]
+        rule_counts: dict[tuple, int] = {}
+        for v in violations:
+            k = (v["rule_id"], v["severity"])
+            rule_counts[k] = rule_counts.get(k, 0) + 1
+        exports = [
+            {
+                "sample_name": f"{r['conv_id']}:{r['turn_idx']}",
+                "export_format": r["export_format"],
+            }
+            for r in export_valid_structured(res.facts, res.violations)
+            .select("conv_id", "turn_idx", F.to_json("export_format").alias("export_format"))
+            .orderBy("conv_id", "turn_idx")
+            .limit(max_rows_returned)
+            .collect()
+        ]
+    finally:
+        # repeated in-session serving calls must not accumulate cached
+        # blocks for the life of the shared SparkSession
+        res.violations.unpersist()
     import json as _json
 
     for e in exports:

@@ -80,3 +80,44 @@ def test_ruleset_change_invalidates_checkpoint(spark, dataset, tmp_path):
     ]
     r2 = CP.run_with_checkpoint(spark, facts, dataset, ckpt, rules=changed)
     assert len(r2["ran"]) == 1  # hash changed -> rerun
+
+
+def test_resume_after_schema_drift_fails_fast(spark, dataset, tmp_path):
+    """P17 on the resume path: a checkpointed run whose input table later
+    drifts (here: an extra column) must raise SchemaDriftError BEFORE any
+    partition work — and the CLI maps it to rc 2."""
+    import pytest
+
+    facts = dataset["transcripts"]
+    ckpt = str(tmp_path / "ckpt_drift")
+    r1 = CP.run_with_checkpoint(spark, facts, dataset, ckpt, fail_after=1)
+    assert len(r1["ran"]) == 1
+    # every manifest entry records the schema-contract hash it passed
+    st = next(iter(r1["manifest"].values()))
+    assert st.schema_hash != ""
+
+    drifted = facts.withColumn("typo_col", F.lit(1))
+    with pytest.raises(CP.SchemaDriftError, match="R_unknown_column"):
+        CP.run_with_checkpoint(spark, drifted, dataset, ckpt)
+    # nothing beyond the first partition ran
+    assert len(CP.read_manifest(ckpt)) == 1
+
+    # explicit opt-out resumes anyway (the --allow-schema-drift analog)
+    r2 = CP.run_with_checkpoint(spark, drifted, dataset, ckpt, enforce_schema=False)
+    assert len(r2["skipped"]) == 1 and len(r2["ran"]) >= 1
+
+
+def test_cli_checkpoint_schema_drift_rc2(spark, dataset, tmp_path, monkeypatch):
+    from pyspark.sql import SparkSession
+
+    from faang_pydantics_validation_spark.jobs import validate_cli
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    data_dir = str(tmp_path / "data_drift")
+    dataset["transcripts"].withColumn("typo_col", F.lit(1)).write.mode(
+        "overwrite"
+    ).parquet(f"{data_dir}/transcripts")
+    rc = validate_cli.main(
+        ["--input", data_dir, "--checkpoint", str(tmp_path / "ckpt_cli_drift")]
+    )
+    assert rc == 2

@@ -91,3 +91,46 @@ def test_validate_json_cli(spark, tmp_path, monkeypatch):
     assert main(["--json", str(p)]) == 0
     p.write_text("{not json")
     assert main(["--json", str(p)]) == 2
+
+
+def test_malformed_records_return_structured_error(spark):
+    """Unparseable ts/ds strings and wrong-typed fields are REQUEST errors
+    (structured {'status': 'error'} payload, rc 2 via the CLI), never a
+    traceback — mirroring the reference's except-Exception handler
+    (app.py:92-98)."""
+    bad_ts = [{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "t",
+               "tool": None, "ts": "not-a-timestamp"}]
+    resp = validate_json_batch(spark, bad_ts)
+    assert resp["status"] == "error"
+    assert "record 0" in resp["message"]
+    assert resp["verdicts"] == [] and resp["exports"] == []
+
+    bad_type = [{"conv_id": "c1", "turn_idx": "zero", "role": "user", "text": "t",
+                 "tool": None, "ts": "2026-03-01T10:00:00"}]
+    resp2 = validate_json_batch(spark, bad_type)
+    assert resp2["status"] == "error"
+
+
+def test_malformed_records_cli_rc2(spark, tmp_path, monkeypatch):
+    from pyspark.sql import SparkSession
+
+    from faang_pydantics_validation_spark.jobs.validate_json import main
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps([{"conv_id": "c", "turn_idx": 0, "role": "u",
+                              "text": "t", "tool": None, "ts": "31/02/2026"}]))
+    assert main(["--json", str(p)]) == 2
+
+
+def test_serving_unpersists_violations(spark):
+    """Repeated in-session serving calls must not leak cached blocks into
+    the shared SparkSession (the violations persist is released in a
+    finally)."""
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_cached()
+    for _ in range(3):
+        validate_json_batch(spark, BATCH)
+    assert n_cached() == before
