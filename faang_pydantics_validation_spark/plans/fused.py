@@ -295,9 +295,11 @@ def validate_transcripts_fused(
     # violation set — scalar + dim + window + uniqueness + J6 — is one
     # scan, one exchange, one sort, one window pass.
     is_conv = F.col("v.rule_id") == "R_conv_known"
+    # (no size>0 pre-filter: explode drops empty arrays itself, and a
+    # Filter over the packed array triggers exponential constraint
+    # inference on big rulesets — see rules/compiler.py)
     turn_violations = (
-        wide.where(F.size("__v") > 0)
-        .select("conv_id", "turn_idx", partition_col, F.explode("__v").alias("v"))
+        wide.select("conv_id", "turn_idx", partition_col, F.explode("__v").alias("v"))
         .select(
             "conv_id",
             F.when(is_conv, F.lit(None).cast("int"))

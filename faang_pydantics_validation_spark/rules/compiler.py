@@ -83,9 +83,13 @@ def compile_row_rules(
     """
     keys = list(key_cols) + ([partition_col] if partition_col else [])
     arr = rules_array(rules).alias("__v")
+    # NOTE: no `where(size(__v) > 0)` before the explode — explode already
+    # drops empty arrays, and a Filter over the packed-array expression
+    # sends Catalyst's InferFiltersFromConstraints into exponential
+    # constraint inference on the giant conditional tree (measured: 38-rule
+    # ruleset analyzed in ~8s without the filter vs minutes with it).
     out = (
         df.select(*keys, arr)
-        .where(F.size("__v") > 0)
         .select(*keys, F.explode("__v").alias("v"))
         .select(
             *keys,

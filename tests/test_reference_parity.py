@@ -203,3 +203,151 @@ def test_total_summary_parity(spark, golden):
         "total_samples": 10, "valid_samples": 7, "invalid_samples": 3,
         "warnings": 2, "relationship_errors": 2,
     }
+
+
+# ---- the two remaining golden record types (5/5 coverage) -------------------
+
+SPECIMEN_ALIASES = {
+    "Sample Name": "sample_name", "Material": "material",
+    "Term Source ID": "term", "Project": "project",
+    "Secondary Project": "secondary_project", "Availability": "availability",
+    "Specimen Collection Date": "specimen_collection_date", "Unit": "unit",
+    "Geographic Location": "geographic_location",
+    "Animal Age At Collection": "animal_age_at_collection",
+    "Animal Age At Collection Unit": "animal_age_at_collection_unit",
+    "Developmental Stage": "developmental_stage",
+    "Organism Part": "organism_part",
+    "Specimen Collection Protocol": "specimen_collection_protocol",
+    "Fasted Status": "fasted_status", "Number of Pieces": "number_of_pieces",
+    "Specimen Volume": "specimen_volume",
+    "Specimen Volume Unit": "specimen_volume_unit",
+    "Specimen Size": "specimen_size", "Specimen Size Unit": "specimen_size_unit",
+    "Specimen Weight": "specimen_weight",
+    "Specimen Weight Unit": "specimen_weight_unit",
+    "Gestational Age At Sample Collection": "gestational_age_at_sample_collection",
+    "Gestational Age At Sample Collection Unit": "gestational_age_at_sample_collection_unit",
+    "Average Incubation temperature": "average_incubation_temperature",
+    "Average Incubation temperature Unit": "average_incubation_temperature_unit",
+    "Average Incubation Humidity": "average_incubation_humidity",
+    "Average Incubation Humidity Unit": "average_incubation_humidity_unit",
+    "Embryonic Stage": "embryonic_stage",
+    "Embryonic Stage Unit": "embryonic_stage_unit",
+}
+
+EMBRYO_ALIASES = {
+    **SPECIMEN_ALIASES,
+    "Origin": "origin", "Reproductive Strategy": "reproductive_strategy",
+    "Hatching": "hatching",
+    "Time Post Fertilisation": "time_post_fertilisation",
+    "Time Post Fertilisation Unit": "time_post_fertilisation_unit",
+    "Pre-hatching Water Temperature Average": "pre_hatching_water_temperature_average",
+    "Pre-hatching Water Temperature Average Unit": "pre_hatching_water_temperature_average_unit",
+    "Post-hatching Water Temperature Average": "post_hatching_water_temperature_average",
+    "Post-hatching Water Temperature Average Unit": "post_hatching_water_temperature_average_unit",
+    "Degree Days": "degree_days", "Degree Days Unit": "degree_days_unit",
+    "Growth Media": "growth_media",
+    "Medium Replacement Frequency": "medium_replacement_frequency",
+    "Medium Replacement Frequency Unit": "medium_replacement_frequency_unit",
+    "Percentage Total Somite Number": "percentage_total_somite_number",
+    "Percentage Total Somite Number Unit": "percentage_total_somite_number_unit",
+    "Average Water Salinity": "average_water_salinity",
+    "Average Water Salinity Unit": "average_water_salinity_unit",
+    "Photoperiod": "photoperiod",
+    "Generations From Wild": "generations_from_wild",
+    "Generations From Wild Unit": "generations_from_wild_unit",
+}
+
+
+def _scalar_or_list(v):
+    """A1 normalize (specimen_ruleset.py:248-264): scalar -> [scalar],
+    drop blanks."""
+    if v is None:
+        return None
+    if isinstance(v, list):
+        out = [str(x).strip() for x in v if x and str(x).strip()]
+        return out or None
+    return [str(v).strip()] if str(v).strip() else None
+
+
+def _specimen_df(spark, rows, aliases):
+    str_cols = sorted(set(aliases.values()))
+    data = [
+        tuple(
+            [None if (x := r.get(a)) is None or str(x).strip() == "" else str(x)
+             for a, c in sorted(aliases.items(), key=lambda kv: kv[1])]
+            + [_scalar_or_list(r.get("Derived From"))]
+            + [_scalar_or_list(r.get("Specimen Picture URL"))]
+            + [[(e["text"], e["term"]) for e in r.get("Health Status") or []] or None]
+        )
+        for r in rows
+    ]
+    schema = (
+        ", ".join(f"{c} string" for c in str_cols)
+        + ", derived_from array<string>, specimen_picture_url array<string>"
+        + ", health_status array<struct<text:string,term:string>>"
+    )
+    df = _df_raw(spark, data, schema)
+    return df.withColumn("conv_id", F.col("sample_name")).withColumn("turn_idx", F.lit(0))
+
+
+def _df_raw(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+def test_specimen_from_organism_parity(spark, ref_data, golden):
+    """Golden: 1 record, all-valid, 0 warnings, 0 relationship errors —
+    the full shipped specimen ruleset (38 rules) must emit zero error
+    rows, zero warnings (health_status present), and the derived_from
+    reference must resolve in-batch."""
+    rows = ref_data["specimen_from_organism"]
+    df = _specimen_df(spark, rows, SPECIMEN_ALIASES)
+    v = compile_row_rules(df, _ruleset("specimen"),
+                          key_cols=("conv_id", "turn_idx"), partition_col=None)
+    got = [(r["conv_id"], r["rule_id"], r["severity"]) for r in v.collect()]
+    assert got == [], got
+
+    # J6: Derived From resolves against the organism sheet
+    names = spark.createDataFrame(
+        [(r["Sample Name"],) for r in ref_data["organism"]], "id string"
+    )
+    exploded = df.select("conv_id", F.lit(0).alias("turn_idx"),
+                         F.explode("derived_from").alias("ref"))
+    missing = anti_join_rule(exploded, names, "ref", "id", "R_ref", ds=False)
+    assert missing.count() == 0
+
+    g = golden["results_by_type"]["specimen_from_organism"]
+    assert g["summary"] == {"total": 1, "valid": 1, "invalid": 0,
+                            "warnings": 0, "relationship_errors": 0}
+    assert {e["sample_name"] for e in g["valid_specimen_from_organisms"]} == {
+        "OCU_INRAE_PND18_S1"
+    }
+
+
+def test_teleostei_embryo_parity(spark, ref_data, golden):
+    """Golden: 2 records, all-valid under the full inherited ruleset
+    (specimen core + 22 embryo rules, 59 total)."""
+    rows = ref_data["teleostei_embryo"]
+    df = _specimen_df(spark, rows, EMBRYO_ALIASES)
+    v = compile_row_rules(df, _ruleset("teleostei_embryo"),
+                          key_cols=("conv_id", "turn_idx"), partition_col=None)
+    got = [(r["conv_id"], r["rule_id"], r["severity"]) for r in v.collect()]
+    assert got == [], got
+
+    g = golden["results_by_type"]["teleostei_embryo"]
+    assert g["summary"]["total"] == 2 and g["summary"]["invalid"] == 0
+    assert g["summary"]["warnings"] == 0 and g["summary"]["relationship_errors"] == 0
+
+
+def test_teleostei_embryo_seeded_violations(spark, ref_data):
+    """Negative control for the embryo ruleset: corrupt three fields of a
+    golden-valid record and assert exactly those rules fire (the golden is
+    all-valid, so without seeding the parity signal would be vacuous)."""
+    rows = [dict(ref_data["teleostei_embryo"][0])]
+    rows[0]["Photoperiod"] = "25L:12D"          # L hours out of 1-24 range
+    rows[0]["Degree Days"] = "-3"               # negative numeric
+    rows[0]["Growth Media"] = "Lava"            # enum miss
+    df = _specimen_df(spark, rows, EMBRYO_ALIASES)
+    v = compile_row_rules(df, _ruleset("teleostei_embryo"),
+                          key_cols=("conv_id", "turn_idx"), partition_col=None)
+    fired = {r["rule_id"] for r in v.collect()}
+    assert fired == {"R_photoperiod", "R_degree_days", "R_growth_media"}, fired

@@ -44,3 +44,25 @@ def test_loaded_ruleset_validates(spark, dataset):
     cmp = ["conv_id", "turn_idx", "rule_id", "severity", "scope", "observed"]
     assert res.violations.select(*cmp).exceptAll(want.select(*cmp)).count() == 0
     assert want.select(*cmp).exceptAll(res.violations.select(*cmp)).count() == 0
+
+
+ALL_RULESETS = [
+    "transcripts", "organism", "organoid", "teleostei_post_hatching",
+    "specimen", "teleostei_embryo", "cell_line", "pool_of_specimens",
+    "cell_culture", "cell_specimen", "single_cell_specimen",
+    "person", "organization", "submission",
+]
+
+
+@pytest.mark.parametrize("name", ALL_RULESETS)
+def test_all_shipped_rulesets_roundtrip(name):
+    """Every shipped ruleset document (all 13 reference record types +
+    the transcript graft ruleset) loads into RuleSpecs, round-trips
+    through the serializer, and hashes stably — 'one engine, many
+    rulesets' as data."""
+    from faang_pydantics_validation_spark.rules.spec import ruleset_hash
+
+    rules = load_ruleset(f"rulesets/{name}.rules.json")
+    assert rules, name
+    assert rules_from_json(rules_to_json(rules)) == rules
+    assert len(ruleset_hash(rules)) == 16
