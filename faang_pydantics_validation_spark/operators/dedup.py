@@ -16,6 +16,14 @@ Scale design (the point of each algorithm at 100 TB):
 - embedding:  random-hyperplane LSH buckets, cosine verified in-bucket.
 
 All hashing is xxhash64/crc32 (Spark-native, JVM-side).
+
+Pipeline order at corpus scale: run `exact_duplicates` FIRST and feed only
+the `keep_id` survivors to the near-dup passes — web corpora are dominated
+by byte-identical copies, and collapsing them up front bounds every
+downstream candidate structure (the same reasoning embedding_cosine_dups
+applies internally via exact_dup_canon). The near-dup operators here stay
+correct without that pre-pass (ngram's max_df cap and the banded joins
+bound the blowup), but exact-first is the cheap 10-100x win.
 """
 
 from __future__ import annotations
