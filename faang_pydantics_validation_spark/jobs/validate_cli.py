@@ -37,6 +37,15 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="skip the P17 schema gate (unknown/missing/retyped columns)",
     )
+    ap.add_argument(
+        "--conv-dim-join",
+        choices=["auto", "broadcast", "shuffle"],
+        default="auto",
+        help="J6 conversation-registry join strategy: auto (size-gated on "
+        "Catalyst's estimate, default), broadcast (force pre-shuffle "
+        "broadcast tag), shuffle (force post-exchange shuffled-hash tag "
+        "for fact-scale registries)",
+    )
     args = ap.parse_args(argv)
 
     from faang_pydantics_validation_spark.plans import checkpoint as CP
@@ -97,7 +106,10 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
     else:
-        res = validate_transcripts_fused(facts, dims, persist_violations=True)
+        conv_mode = {"auto": None, "broadcast": True, "shuffle": False}[args.conv_dim_join]
+        res = validate_transcripts_fused(
+            facts, dims, persist_violations=True, conv_dim_broadcast=conv_mode
+        )
         violations, verdicts_df = res.violations, res.verdicts
 
     if args.out:

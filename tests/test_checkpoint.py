@@ -121,3 +121,19 @@ def test_cli_checkpoint_schema_drift_rc2(spark, dataset, tmp_path, monkeypatch):
         ["--input", data_dir, "--checkpoint", str(tmp_path / "ckpt_cli_drift")]
     )
     assert rc == 2
+
+
+def test_cli_conv_dim_join_shuffle(spark, dataset, tmp_path, monkeypatch):
+    """--conv-dim-join shuffle forces the post-exchange J6 tag through the
+    CLI and the run still completes with the same verdict totals."""
+    from pyspark.sql import SparkSession
+
+    from faang_pydantics_validation_spark.jobs import validate_cli
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    data_dir = str(tmp_path / "data_shuffle")
+    dataset["transcripts"].write.mode("overwrite").parquet(f"{data_dir}/transcripts")
+    for n in ("dim_roles", "dim_tools", "dim_conversations", "allowed_transitions"):
+        dataset[n].write.mode("overwrite").parquet(f"{data_dir}/{n}")
+    rc = validate_cli.main(["--input", data_dir, "--conv-dim-join", "shuffle"])
+    assert rc == 0

@@ -154,3 +154,31 @@ def test_fast_verdicts_key_grain_on_double_violating_duplicates(spark):
     assert f["total_turns"] == c["total_turns"] == 3
     for field in ("valid_turns", "warning_only_turns", "relationship_errors", "verdict"):
         assert f[field] == c[field], field
+
+
+def test_broadcast_gate_helpers(spark, dataset):
+    """Unit coverage for the J6 size gate: threshold parsing and the
+    metadata-only fits decision (including the disabled-broadcast and
+    huge-estimate paths)."""
+    from faang_pydantics_validation_spark.plans.fused import (
+        _fits_broadcast,
+        _parse_size_bytes,
+    )
+
+    assert _parse_size_bytes("10485760b") == 10485760
+    assert _parse_size_bytes("64MB") == 64 * 1024 * 1024
+    assert _parse_size_bytes("1g") == 1 << 30
+    assert _parse_size_bytes("512k") == 512 * 1024
+    assert _parse_size_bytes("-1") == -1
+
+    tiny = dataset["dim_conversations"].select("conv_id").distinct()
+    assert _fits_broadcast(tiny) is True
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _fits_broadcast(tiny) is False  # broadcast disabled -> shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        assert _fits_broadcast(tiny) is False  # estimate over threshold
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
