@@ -66,3 +66,39 @@ def test_all_shipped_rulesets_roundtrip(name):
     assert rules, name
     assert rules_from_json(rules_to_json(rules)) == rules
     assert len(ruleset_hash(rules)) == 16
+
+
+ARRAY_STRING_KINDS = {"array_size", "array_element_regex", "array_element_enum"}
+# columns validated as arrays of nested {text, term} objects (A5 shape)
+STRUCT_ARRAY_COLS = {"health_status", "cell_type"}
+
+
+@pytest.mark.parametrize("name", ALL_RULESETS)
+def test_all_shipped_rulesets_compile_and_run(name, spark):
+    """Every shipped ruleset must COMPILE against a DataFrame carrying its
+    referenced columns and evaluate cleanly on blank and sentinel rows —
+    this is what catches column-name drift or kind/param typos that a pure
+    load test can't (a ruleset that loads but can't compile is unusable)."""
+    from faang_pydantics_validation_spark.rules.compiler import compile_row_rules
+
+    rules = load_ruleset(f"rulesets/{name}.rules.json")
+    cols: dict[str, str] = {}
+    for r in rules:
+        for i, c in enumerate(r.columns):
+            if c in STRUCT_ARRAY_COLS:
+                cols[c] = "array<struct<text:string,term:string>>"
+            elif i == 0 and r.kind in ARRAY_STRING_KINDS:
+                cols[c] = "array<string>"
+            else:
+                cols.setdefault(c, "string")
+    schema = "conv_id string, turn_idx int, " + ", ".join(
+        f"{c} {t}" for c, t in sorted(cols.items())
+    )
+    blank_row = ("r1", 0) + tuple(None for _ in cols)
+    sentinel_row = ("r2", 0) + tuple(
+        None if t != "string" else "restricted access" for _, t in sorted(cols.items())
+    )
+    df = spark.createDataFrame([blank_row, sentinel_row], schema)
+    v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
+    rows = v.collect()  # must evaluate without analysis/runtime errors
+    assert all(r["rule_id"] for r in rows)
