@@ -351,3 +351,141 @@ def test_teleostei_embryo_seeded_violations(spark, ref_data):
                           key_cols=("conv_id", "turn_idx"), partition_col=None)
     fired = {r["rule_id"] for r in v.collect()}
     assert fired == {"R_photoperiod", "R_degree_days", "R_growth_media"}, fired
+
+
+# ---- sample1.json differential: the remaining 8 shipped rulesets -------------
+# (sample1.json is the reference's full-coverage input, SURVEY.md §5; it has
+# no golden output file, so expectations are the seeded errors the reference's
+# own validators raise — e.g. 'Person Role': 'submitterxxx', cell-line breed
+# term from NCBITaxon instead of LBO)
+
+SAMPLE1 = "/root/reference/json_files/sample1.json"
+
+CORE_ALIASES = {
+    "sample_name": "Sample Name", "material": "Material",
+    "term": "Term Source ID", "project": "Project",
+    "secondary_project": "Secondary Project", "availability": "Availability",
+}
+
+SHEET_CASES = [
+    ("person", "person", {
+        "person_last_name": "Person Last Name",
+        "person_first_name": "Person First Name",
+        "person_email": "Person Email", "person_role": "Person Role",
+    }, {("Harrison", "R_person_role")}),  # seeded: 'submitterxxx'
+    ("organization", "organization", {
+        "organization_name": "Organization Name",
+        "organization_address": "Organization Address",
+        "organization_uri": "Organization URI",
+        "organization_role": "Organization Role",
+    }, set()),
+    ("submission", "submission", {
+        "submission_title": "Submission Title",
+        "submission_description": "Submission Description",
+    }, set()),
+    ("pool of specimens", "pool_of_specimens", {
+        **CORE_ALIASES,
+        "pool_creation_date": "Pool Creation Date", "unit": "Unit",
+        "pool_creation_protocol": "Pool Creation Protocol",
+        "specimen_volume": "Specimen Volume",
+        "specimen_volume_unit": "Specimen Volume Unit",
+        "specimen_size": "Specimen Size",
+        "specimen_size_unit": "Specimen Size Unit",
+        "specimen_weight": "Specimen Weight",
+        "specimen_weight_unit": "Specimen Weight Unit",
+    }, set()),  # '2018-07-12 00:00:00' must strip to a valid YYYY-MM-DD
+    ("cell specimen", "cell_specimen", {
+        **CORE_ALIASES,
+        "purification_protocol": "Purification Protocol",
+    }, set()),
+    ("cell culture", "cell_culture", {
+        **CORE_ALIASES,
+        "culture_type": "Culture Type",
+        "culture_type_term": "Culture Type Term Source ID",
+        "cell_culture_protocol": "Cell Culture Protocol",
+        "culture_conditions": "Culture Conditions",
+        "number_of_passages": "Number Of Passages",
+    }, set()),
+    ("cell line", "cell_line", {
+        **CORE_ALIASES,
+        "organism": "Organism", "organism_term": "Organism Term Source ID",
+        "sex": "Sex", "sex_term": "Sex Term Source ID",
+        "cell_line": "Cell Line", "biomaterial_provider": "Biomaterial Provider",
+        "number_of_passages": "Number of Passages",
+        "date_established": "Date Established", "unit": "Unit",
+        "breed": "Breed", "breed_term": "Breed Term Source ID",
+        "culture_protocol": "Culture Protocol",
+        "disease": "Disease", "disease_term": "Disease Term Source ID",
+    }, {
+        # both records carry Breed Term Source ID 'NCBITaxon:9796' — the
+        # reference's validate_breed_term raises 'should be from LBO'
+        ("cell_line_1", "R_breed_term_format"),
+        ("cell_line_2", "R_breed_term_format"),
+    }),
+    ("single cell specimen", "single_cell_specimen", {
+        **CORE_ALIASES,
+        "tissue_dissociation": "Tissue Dissociation",
+        "cell_enrichment": "Cell Enrichment",
+        "enrichment_markers": "Enrichment Markers",
+        "single_cell_isolation": "Single Cell Isolation",
+        "single_cell_entity": "Single Cell Entity",
+        "single_cell_quality": "Single Cell Quality",
+        "cell_number": "Cell Number", "cell_number_unit": "Unit",
+        "single_cell_isolation_protocol": "Single Cell Isolation Protocol",
+    }, set()),
+]
+
+ARRAY_KINDS1 = {"array_size", "array_element_regex", "array_element_enum"}
+STRUCT_COLS1 = {"health_status", "cell_type"}
+SHEET_ARRAY_ALIASES = {
+    "derived_from": "Derived From",
+    "specimen_picture_url": "Specimen Picture URL",
+    "cell_type": "Cell Type",
+    "health_status": "Health Status",
+}
+
+
+def _sheet_df(spark, rows, ruleset, aliases):
+    """Build a DataFrame carrying every column the ruleset references,
+    pulled from the sheet via alias maps; arrays get A1 normalization."""
+    cols: dict[str, str] = {}
+    for r in ruleset:
+        for i, c in enumerate(r.columns):
+            if c in STRUCT_COLS1:
+                cols[c] = "array<struct<text:string,term:string>>"
+            elif i == 0 and r.kind in ARRAY_KINDS1:
+                cols[c] = "array<string>"
+            else:
+                cols.setdefault(c, "string")
+    data = []
+    for row in rows:
+        vals = []
+        for c, t in sorted(cols.items()):
+            if t == "string":
+                x = row.get(aliases.get(c, "\x00"))
+                vals.append(None if x is None or str(x).strip() == "" else str(x))
+            elif c in STRUCT_COLS1:
+                hs = row.get(SHEET_ARRAY_ALIASES[c])
+                vals.append([(e["text"], e["term"]) for e in hs] if hs else None)
+            else:
+                vals.append(_scalar_or_list(row.get(SHEET_ARRAY_ALIASES.get(c))))
+        data.append(tuple(vals))
+    schema = ", ".join(f"{c} {t}" for c, t in sorted(cols.items()))
+    return spark.createDataFrame(data, schema)
+
+
+@pytest.mark.parametrize("sheet,rs_name,aliases,expected", SHEET_CASES,
+                         ids=[c[1] for c in SHEET_CASES])
+def test_sample1_differential(spark, sheet, rs_name, aliases, expected):
+    rows = json.load(open(SAMPLE1))[sheet]
+    ruleset = _ruleset(rs_name)
+    name_col = next(c for c in ("sample_name", "person_last_name",
+                                "organization_name", "submission_title")
+                    if any(c in r.columns for r in ruleset))
+    df = _sheet_df(spark, rows, ruleset, aliases).withColumn(
+        "conv_id", F.col(name_col)
+    ).withColumn("turn_idx", F.lit(0))
+    v = compile_row_rules(df, ruleset, key_cols=("conv_id", "turn_idx"),
+                          partition_col=None)
+    got = {(r["conv_id"], r["rule_id"]) for r in v.collect()}
+    assert got == expected, (sheet, got ^ expected)
