@@ -45,8 +45,25 @@ TRANSCRIPT_SCHEMA = T.StructType(
 
 
 def read_transcript_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    enforce_schema: bool = True,
 ) -> DataFrame:
+    """readStream with the declared transcript schema. A readStream with an
+    explicit StructType silently DROPS unknown columns (operators/schema.py
+    docstring), so P17 rides here as a one-time batch METADATA check of the
+    source directory before the stream is wired — a drifted landing zone
+    raises SchemaDriftError instead of quietly validating a narrower table.
+    enforce_schema=False opts out (the --allow-schema-drift analog)."""
+    if enforce_schema:
+        from ..operators.schema import TRANSCRIPT_EXPECTED, schema_check
+        from ..plans.checkpoint import SchemaDriftError
+
+        current = spark.read.parquet(f"{path}/transcripts")
+        drift = [r.asDict() for r in schema_check(current, TRANSCRIPT_EXPECTED).collect()]
+        if drift:
+            raise SchemaDriftError(drift)
     r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -83,3 +83,25 @@ def test_windowed_verdicts_stream(spark, tmp_path):
     }
     for ds, n in per_ds_batch.items():
         assert per_ds_stream.get(ds, 0) == n, (ds, per_ds_stream.get(ds), n)
+
+
+def test_stream_source_schema_drift_fails_fast(spark, dataset, tmp_path):
+    """P17 on the streaming surface: a drifted landing directory raises
+    before the stream is wired (the explicit readStream schema would
+    otherwise silently drop the unknown column)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from faang_pydantics_validation_spark.plans.checkpoint import SchemaDriftError
+    from faang_pydantics_validation_spark.streaming.incremental import (
+        read_transcript_stream,
+    )
+
+    root = str(tmp_path / "stream_drift")
+    dataset["transcripts"].withColumn("typo_col", F.lit(1)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/transcripts")
+    with pytest.raises(SchemaDriftError, match="R_unknown_column"):
+        read_transcript_stream(spark, root)
+    # opt-out still wires the (narrowed) stream
+    assert read_transcript_stream(spark, root, enforce_schema=False).isStreaming
