@@ -17,13 +17,19 @@ Scale design (the point of each algorithm at 100 TB):
 
 All hashing is xxhash64/crc32 (Spark-native, JVM-side).
 
-Pipeline order at corpus scale: run `exact_duplicates` FIRST and feed only
-the `keep_id` survivors to the near-dup passes — web corpora are dominated
-by byte-identical copies, and collapsing them up front bounds every
-downstream candidate structure (the same reasoning embedding_cosine_dups
-applies internally via exact_dup_canon). The near-dup operators here stay
-correct without that pre-pass (ngram's max_df cap and the banded joins
-bound the blowup), but exact-first is the cheap 10-100x win.
+Pipeline order at corpus scale: running `exact_duplicates` FIRST and
+feeding only the `keep_id` survivors to the near-dup passes is still the
+cheap 10-100x win (web corpora are dominated by byte-identical copies),
+but it is no longer load-bearing: `minhash_lsh_pairs` and
+`simhash_near_pairs` now collapse normalization-identical documents to one
+representative INTERNALLY (text_dup_canon, the same recipe
+embedding_cosine_dups uses via exact_dup_canon) before computing
+signatures, and re-expand the pair set afterwards — identical documents
+have identical signatures, so the emitted pairs are value-identical to the
+uncollapsed run while the banded self-joins see one row per distinct text
+instead of one per copy. Hot (band, bucket) groups from NEAR-identical
+documents are additionally bounded by `max_bucket` (the banded-join twin
+of ngram's max_df stop-shingle cap).
 """
 
 from __future__ import annotations
@@ -129,6 +135,77 @@ def ngram_jaccard_pairs(
     return scored
 
 
+def text_dup_canon(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Adds __rep = min(id) over documents with IDENTICAL normalized text
+    (keyed on md5 of the normalized text) — the text twin of
+    exact_dup_canon. One shuffle on the digest; used by the signature-based
+    near-dup operators to keep byte-identical duplicate clusters out of
+    the banded self-joins: identical text means identical MinHash/SimHash
+    signatures, so all copies land in the same bucket in EVERY band and
+    would otherwise generate O(cluster^2) candidate rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(normalized_text(F.col(text_col))))
+    return df.withColumn("__rep", F.min(F.col(id_col)).over(w))
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    score_col: str | None,
+    intra_score,
+) -> DataFrame:
+    """Fan representative-level near-dup pairs back out to member level
+    and add the intra-duplicate-group pairs (identical documents, scored
+    at the exact-duplicate value: jaccard 1.0 / hamming 0). Identical
+    documents have identical signatures AND identical shingle/token sets,
+    so the re-expanded pair set is value-identical to running the operator
+    without the collapse. `members` is (rep, id)."""
+    intra = (
+        members.alias("a")
+        .join(members.alias("b"), on="rep")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    inter = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("id_a"), F.col("id").alias("__ma")), "id_a"
+        )
+        .join(members.select(F.col("rep").alias("id_b"), F.col("id").alias("__mb")), "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            *([score_col] if score_col else []),
+        )
+    )
+    if score_col:
+        intra = intra.withColumn(score_col, F.lit(intra_score))
+    return intra.unionByName(inter)
+
+
+def _bucket_cap(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop (band, bucket) groups holding more than max_bucket documents
+    before the banded self-join — the banded-join analog of ngram's
+    max_df stop-shingle cap, bounding candidate blowup from NEAR-identical
+    document floods (exact duplicates are already collapsed upstream).
+    Recall trade: a true near-dup pair is lost only if EVERY band it
+    collides on is hot; with the default cap (1000) that requires a
+    >1000-document near-identical flood, which a dedup pipeline should
+    handle via the exact/collapse path anyway. Implemented as a window
+    count so the (band, bucket) shuffle is the SAME exchange the self-join
+    needs — the cap adds no extra fact-sized shuffle."""
+    if max_bucket is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .where(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -158,13 +235,30 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     verify: bool = True,
+    collapse_exact: bool = True,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature, bucket-join on
     (band_idx, band_hash), optionally verify candidates with exact
     Jaccard (removes LSH false positives; false negatives are the usual
     LSH probabilistic tradeoff, tuned by bands/rows).
 
+    collapse_exact (default ON): normalization-identical documents are
+    collapsed to one representative BEFORE signatures (text_dup_canon) and
+    the pair set re-expanded after — intra-group pairs at jaccard exactly
+    1.0, representative pairs fanned out to all member combinations at the
+    representative jaccard. Identical text means identical signatures and
+    identical shingle sets, so the output is value-identical to the
+    uncollapsed run while duplicate clusters cost O(cluster) instead of
+    O(cluster^2) in the banded self-join. max_bucket then bounds the
+    residual hazard of NEAR-identical floods (see _bucket_cap).
+
     Output: (id_a, id_b[, jaccard]) distinct."""
+    members = None
+    if collapse_exact:
+        canoned = text_dup_canon(df, id_col, text_col)
+        members = canoned.select(F.col("__rep").alias("rep"), F.col(id_col).alias("id"))
+        df = canoned.where(F.col(id_col) == F.col("__rep")).drop("__rep")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sigs.select(
@@ -183,6 +277,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    banded = _bucket_cap(banded, ["band", "bh"], max_bucket)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bh"], how="inner")
@@ -190,31 +285,40 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    if not verify:
-        return cand
-    sh = _shingle_table(df, id_col, text_col, shingle_n, persist=True)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    common = (
-        cand.join(sh.alias("sa"), cand["id_a"] == F.col("sa.id"))
-        .join(
-            sh.alias("sb"),
-            (cand["id_b"] == F.col("sb.id")) & (F.col("sa.sh") == F.col("sb.sh")),
+    if verify:
+        sh = _shingle_table(df, id_col, text_col, shingle_n, persist=True)
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        common = (
+            cand.join(sh.alias("sa"), cand["id_a"] == F.col("sa.id"))
+            .join(
+                sh.alias("sb"),
+                (cand["id_b"] == F.col("sb.id")) & (F.col("sa.sh") == F.col("sb.sh")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
-            ).alias("jaccard"),
+        out = (
+            common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
         )
-        .where(F.col("jaccard") >= threshold)
-    )
+    else:
+        out = cand
+    if members is None:
+        return out
+    expanded = _expand_member_pairs(out, members, "jaccard" if verify else None, 1.0)
+    if verify:
+        # intra pairs score exactly 1.0, so they qualify iff threshold <=
+        # 1.0 (constant-folded; inter pairs are threshold-filtered above)
+        expanded = expanded.where(F.lit(float(threshold)) <= 1.0)
+    return expanded
 
 
 def simhash(
@@ -252,11 +356,28 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 4,
+    collapse_exact: bool = True,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming, via band blocking: split
     the 64-bit hash into n_bands chunks; any pair within the Hamming ball
     shares at least one exact chunk (pigeonhole, needs n_bands > max_hamming
-    for guarantee). Candidates verified with bit_count."""
+    for guarantee). Candidates verified with bit_count.
+
+    collapse_exact (default ON): normalization-identical documents collapse
+    to one representative before hashing (text_dup_canon) and the pair set
+    re-expands after — intra-group pairs at hamming exactly 0,
+    representative pairs fanned out at the representative hamming.
+    Identical text means identical token streams and identical simhash, so
+    the output is value-identical to the uncollapsed run while duplicate
+    clusters cost O(cluster) instead of O(cluster^2) in the chunk
+    self-join. max_bucket bounds the residual near-identical-flood hazard
+    (see _bucket_cap)."""
+    members = None
+    if collapse_exact:
+        canoned = text_dup_canon(df, id_col, text_col)
+        members = canoned.select(F.col("__rep").alias("rep"), F.col(id_col).alias("id"))
+        df = canoned.where(F.col(id_col) == F.col("__rep")).drop("__rep")
     sigs = simhash(df, id_col, text_col)
     width = 64 // n_bands
     banded = sigs.select(
@@ -276,6 +397,7 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.chunk")
+    banded = _bucket_cap(banded, ["band", "chunk"], max_bucket)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "chunk"], how="inner")
@@ -289,9 +411,13 @@ def simhash_near_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+    out = cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+    if members is None:
+        return out
+    # intra pairs are hamming 0, which always satisfies max_hamming >= 0
+    return _expand_member_pairs(out, members, "hamming", 0)
 
 
 def exact_dup_canon(
@@ -302,8 +428,15 @@ def exact_dup_canon(
     quadratic in-bucket passes. One shuffle keyed on the vector value
     itself (no hash-collision caveat); web-scale embedding corpora are
     full of byte-identical vectors, which would otherwise all land in one
-    LSH bucket and cost O(cluster^2) pairs. Zero-norm vectors are dropped:
-    their cosine is undefined (NaN) and they can never pass a threshold."""
+    LSH bucket and cost O(cluster^2) pairs.
+
+    Zero-norm vectors are INTENTIONALLY EXCLUDED from the output (and so
+    from every downstream consumer — embedding_cosine_dups emits no pair
+    involving them, cosine_topk_lsh never ranks them): their cosine is
+    0/0 = NaN, and since Spark orders NaN above every number, earlier code
+    that let them through emitted NaN-cosine pairs and ranked them FIRST
+    under desc ordering. Dropping them is the deliberate behavior change
+    (pinned by test_zero_norm_vectors_excluded)."""
     from pyspark.sql import Window
 
     nonzero = F.exists(F.col(vec_col), lambda x: x != 0)
@@ -330,7 +463,11 @@ def embedding_cosine_dups(
     (identical vectors) and every representative pair fans out to its
     members. In-bucket work is O(n_unique^2 / 2^n_planes) instead of
     O(n_total^2 / 2^n_planes) — the output pair set is unchanged (and
-    still quadratic in cluster size, as the true near-dup relation is).
+    still quadratic in cluster size, as the true near-dup relation is),
+    EXCEPT that zero-norm vectors are intentionally excluded via
+    exact_dup_canon: their cosine is NaN, which Spark orders above every
+    number, so earlier code emitted NaN-cosine pairs for them (pinned by
+    test_zero_norm_vectors_excluded).
 
     Deterministic planes from a seeded RNG broadcast as literals. Pass
     `dim` (embedding width) to keep construction fully lazy; omitted, it

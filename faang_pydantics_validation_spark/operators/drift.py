@@ -36,9 +36,14 @@ def numeric_histogram(
     lo: float | None = None,
     hi: float | None = None,
 ) -> DataFrame:
-    """Fixed-width histogram per partition. Bounds default to the GLOBAL
-    min/max (one extra metadata-cheap agg) so buckets align across
-    partitions — required for KS/PSI comparability."""
+    """Fixed-width histogram per partition. Pass explicit (lo, hi) to keep
+    construction fully LAZY (no Spark job — the dim= convention from
+    similarity/dedup; asserted by test_drift_construction_is_lazy);
+    omitted bounds fall back to the GLOBAL min/max via one eager
+    metadata-cheap agg so buckets still align across partitions — required
+    for KS/PSI comparability. Two-pass is inherent to fixed-width buckets,
+    so production callers that know their column ranges (e.g. ts_hour in
+    plans/drift_check.py) should always pass bounds."""
     v = F.col(column).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
@@ -68,17 +73,24 @@ def categorical_histogram(
     column: str,
     partition_col: str = "ds",
     top_k: int = 20,
+    categories: list | None = None,
 ) -> DataFrame:
-    """Top-K categories (by global frequency) + '__OTHER__' bucket."""
-    top = [
-        r[0]
-        for r in df.groupBy(column)
-        .count()
-        .orderBy(F.desc("count"), F.asc(column))
-        .limit(top_k)
-        .collect()
-        if r[0] is not None
-    ]
+    """Top-K categories (by global frequency) + '__OTHER__' bucket. Pass
+    an explicit `categories` list to keep construction fully lazy (the
+    (lo, hi) / dim= convention); omitted, the top-K is collected eagerly
+    (one TakeOrdered over the category counts — metadata-sized)."""
+    if categories is not None:
+        top = list(categories)
+    else:
+        top = [
+            r[0]
+            for r in df.groupBy(column)
+            .count()
+            .orderBy(F.desc("count"), F.asc(column))
+            .limit(top_k)
+            .collect()
+            if r[0] is not None
+        ]
     bucket = (
         F.when(F.col(column).cast("string").isin([str(t) for t in top]), F.col(column).cast("string"))
         .otherwise(F.lit("__OTHER__"))

@@ -212,11 +212,15 @@ def window_rules(
     runs (plans/checkpoint.py) — at most one row per conversation, the
     LAST turn of that conversation from earlier partitions, with the same
     (conv_id, turn_idx, [ds,] role, ts) columns. Context rows participate
-    only as lag providers: no violation is ever emitted FOR them, and a
-    partition row whose lag row is context additionally gets a
-    cross-partition duplicate check (turn_idx == context turn_idx ->
-    R_turn_unique), the one duplicate shape per-partition uniqueness
-    cannot see."""
+    only as lag providers: no violation is ever emitted FOR them. A
+    cross-partition duplicate (partition re-contains a carried tail key —
+    the one duplicate shape per-partition uniqueness cannot see) is
+    detected by KEY MEMBERSHIP: a broadcast semi-join of partition rows
+    against the metadata-sized context keys, NOT lag adjacency — a late
+    out-of-order lower-turn row sorting between the context row and the
+    duplicate would break the lag pairing and hide the duplicate. Emitted
+    once per duplicated key at its first in-partition (ts, ds) occurrence
+    (the uniqueness_rule convention)."""
     keys = ["conv_id", "turn_idx"] + (["ds"] if ds else [])
     base = facts.select(*keys, "role", "ts").withColumn("__ctx", F.lit(False))
     if context is not None:
@@ -239,7 +243,6 @@ def window_rules(
         F.lag("turn_idx").over(w).alias("__prev_idx"),
         F.lag("ts").over(w).alias("__prev_ts"),
         F.lag("role").over(w).alias("__prev_role"),
-        F.lag("__ctx").over(w).alias("__prev_ctx"),
     ).where(~F.col("__ctx"))
     contiguous = F.col("turn_idx") == F.col("__prev_idx") + 1
 
@@ -283,18 +286,23 @@ def window_rules(
         )
         out = out.unionByName(trans)
     if context is not None:
-        # cross-partition duplicate: this partition re-contains the last
-        # turn key already recorded by an earlier partition's tail
-        bdup = _emit(
-            anno.where(
-                F.col("__prev_ctx") & (F.col("turn_idx") == F.col("__prev_idx"))
-            ),
-            "R_turn_unique",
-            "error",
-            "turn",
-            F.lit(2),
-            ds,
+        # cross-partition duplicate: this partition re-contains a turn key
+        # already recorded by an earlier partition's tail. Key-membership
+        # semi-join (context is one row per conversation — broadcast-sized
+        # at any scale), immune to lag-adjacency breakage by late
+        # out-of-order rows sorting between the tail and the duplicate.
+        hits = facts.select(*keys, "ts").join(
+            F.broadcast(context.select("conv_id", "turn_idx").distinct()),
+            on=["conv_id", "turn_idx"],
+            how="leftsemi",
         )
+        if ds:
+            dups = hits.groupBy("conv_id", "turn_idx").agg(
+                F.min_by("ds", F.struct("ts", "ds")).alias("ds")
+            )
+        else:
+            dups = hits.select("conv_id", "turn_idx").distinct()
+        bdup = _emit(dups, "R_turn_unique", "error", "turn", F.lit(2), ds)
         out = out.unionByName(bdup)
     return out
 

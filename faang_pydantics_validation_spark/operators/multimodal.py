@@ -89,12 +89,24 @@ def _decode_wav(b: bytes) -> tuple[int, int, int, int]:
         cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # PCM fmt chunks are >= 16 bytes; a shorter (malformed) chunk
+            # must fail the decoder's ValueError contract, not leak a
+            # struct.error out of the executor
+            if len(body) < 16:
+                raise ValueError(f"WAV fmt chunk too short ({len(body)} < 16 bytes)")
             channels, block_align, bits = (
                 struct.unpack_from("<H", body, 2)[0],
                 struct.unpack_from("<H", body, 12)[0],
                 struct.unpack_from("<H", body, 14)[0],
             )
         elif cid == b"data":
+            # a data chunk truncated below its declared size is malformed;
+            # trusting the declared size would silently shorten
+            # n_frames/body_sum
+            if len(body) < size:
+                raise ValueError(
+                    f"WAV data chunk truncated ({len(body)} of declared {size} bytes)"
+                )
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if channels is None or data is None or not block_align:

@@ -103,8 +103,13 @@ def cosine_topk_lsh(
     — a web-scale duplicate cluster costs ONE cosine per probing query
     instead of O(cluster), and the member copies (identical vectors ⇒
     identical cosine) are re-ranked into the final top-k, so the result
-    equals the uncollapsed computation. Pass `dim` to keep construction
-    fully lazy; omitted, it is sniffed with a one-row scan."""
+    equals the uncollapsed computation — EXCEPT for zero-norm corpus
+    vectors, which exact_dup_canon intentionally excludes: their cosine is
+    0/0 = NaN, which Spark sorts above every number, so earlier code
+    ranked them FIRST under the desc ordering. They now never appear in
+    the top-k (pinned by test_zero_norm_vectors_excluded). Pass `dim` to
+    keep construction fully lazy; omitted, it is sniffed with a one-row
+    scan."""
     import numpy as np
 
     from .dedup import exact_dup_canon

@@ -68,8 +68,12 @@ def _parse_size_bytes(v: str) -> int:
 def _fits_broadcast(dim: DataFrame) -> bool:
     """Metadata-only size gate: Catalyst's own plan-size estimate vs the
     session broadcast threshold. No Spark job — reads optimizedPlan stats.
-    Errs on the broadcast side (the historical behavior) if the estimate
-    is unavailable."""
+    When the estimate is UNAVAILABLE the gate errs on the SHUFFLE side:
+    at real registry scale (multi-GB conv dim) a blind broadcast OOMs the
+    driver/executors exactly when the gate matters most, while a spurious
+    shuffle of a small dim merely costs one slim exchange."""
+    import logging
+
     try:
         # py4j returns BigInteger for huge estimates and a plain int for
         # small ones — str() round-trip handles both
@@ -78,8 +82,13 @@ def _fits_broadcast(dim: DataFrame) -> bool:
             dim.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         )
         return thr > 0 and size <= thr
-    except Exception:
-        return True
+    except Exception as e:  # py4j/attribute errors on exotic plans
+        logging.getLogger(__name__).warning(
+            "broadcast size estimate unavailable (%s); defaulting conv-dim "
+            "join to shuffled-hash (safe side)",
+            e,
+        )
+        return False
 
 
 def validate_transcripts_fused(

@@ -132,6 +132,14 @@ def test_checkpoint_flags_out_of_order_late_arrivals(spark, tmp_path):
         ("cE", 1, D1, "assistant", "t", None, _ts(D1, 10, 1)),
         # day-2: turn_idx regresses below the tail with an earlier ts
         ("cE", 0, D2, "user", "t", None, _ts(D1, 9, 0)),
+        # cF: the boundary duplicate is NOT lag-adjacent to the tail — a
+        # late lower-turn_idx row sorts between the context row and the
+        # duplicate, so lag-based detection would pair the duplicate with
+        # turn 0 and miss it; key-membership detection must still flag it
+        ("cF", 0, D1, "user", "t", None, _ts(D1, 10, 0)),
+        ("cF", 1, D1, "assistant", "t", None, _ts(D1, 10, 1)),
+        ("cF", 0, D2, "user", "t", None, _ts(D1, 9, 0)),
+        ("cF", 1, D2, "user", "t", None, _ts(D1, 9, 1)),
     ]
     facts = spark.createDataFrame(
         rows,
@@ -145,3 +153,9 @@ def test_checkpoint_flags_out_of_order_late_arrivals(spark, tmp_path):
     assert ("cD", 1, "R_turn_unique", "error", "2") in got
     assert ("cD", 1, "R_ts_monotonic", "error", "2026-02-01 09:00:00") in got
     assert ("cE", 0, "R_ts_monotonic", "error", "2026-02-01 09:00:00") in got
+    # non-adjacent boundary duplicate (key membership, not lag adjacency)
+    assert ("cF", 1, "R_turn_unique", "error", "2") in got
+    # ...and emitted exactly once for cF (no per-copy fan-out)
+    assert (
+        sum(1 for k in got if k[0] == "cF" and k[2] == "R_turn_unique") == 1
+    )

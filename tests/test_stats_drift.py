@@ -108,3 +108,26 @@ def test_numeric_histogram_bucket_alignment(spark, dataset):
     assert total == dataset["transcripts"].count()
     buckets = {r[0] for r in h.select("bucket").distinct().collect()}
     assert all(len(b) == 5 for b in buckets)  # zero-padded, order-stable
+
+
+def test_drift_construction_is_lazy(spark):
+    """Constructing histograms with explicit bounds/categories must launch
+    no Spark job (the dim= convention from similarity/dedup): the eager
+    min/max agg and top-K collect are fallbacks for OMITTED bounds only,
+    and explicit-bounds results equal the inferred-bounds results when the
+    bounds coincide."""
+    df = spark.createDataFrame(
+        [("a", 0.0, "x"), ("a", 5.0, "y"), ("b", 10.0, "x")],
+        "p string, v double, c string",
+    )
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup())
+    lazy_num = D.numeric_histogram(df, "v", partition_col="p", bins=5, lo=0.0, hi=10.0)
+    lazy_cat = D.categorical_histogram(df, "c", partition_col="p", categories=["x", "y"])
+    after = len(sc.statusTracker().getJobIdsForGroup())
+    assert after == before
+
+    eager_num = D.numeric_histogram(df, "v", partition_col="p", bins=5)
+    assert {tuple(r) for r in lazy_num.collect()} == {tuple(r) for r in eager_num.collect()}
+    eager_cat = D.categorical_histogram(df, "c", partition_col="p", top_k=2)
+    assert {tuple(r) for r in lazy_cat.collect()} == {tuple(r) for r in eager_cat.collect()}

@@ -79,6 +79,83 @@ def test_simhash_identical_and_different(spark, docs):
     assert (1, 4) in pairs  # near dup within hamming ball
 
 
+def test_minhash_duplicate_cluster_not_quadratic(spark):
+    """Planted duplicate cluster (500 identical + 4 fully distinct docs):
+    the internal text collapse must shrink the banded self-join input to
+    one representative per distinct text — the LSH pass sees 5 docs, not
+    504 — while the emitted pair set is still the full (inherently
+    quadratic) duplicate-cluster relation at jaccard exactly 1.0."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(500)]
+    rows += [
+        (500 + j, " ".join(f"u{j}x{k}" for k in range(12))) for j in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert DD.text_dup_canon(df, "doc_id", "text").where("doc_id = __rep").count() == 5
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.5).collect()
+    }
+    assert set(got) == {(a, b) for a in range(500) for b in range(a + 1, 500)}
+    assert all(v == 1.0 for v in got.values())
+
+
+def test_simhash_duplicate_cluster_not_quadratic(spark):
+    """SimHash twin of the minhash planted-cluster test: collapse first,
+    re-expand after, full cluster relation at hamming exactly 0."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(500)]
+    rows += [
+        (500 + j, " ".join(f"u{j}x{k}" for k in range(12))) for j in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_near_pairs(df, max_hamming=3).collect()
+    }
+    assert set(got) == {(a, b) for a in range(500) for b in range(a + 1, 500)}
+    assert all(v == 0 for v in got.values())
+
+
+def test_signature_collapse_matches_uncollapsed(spark, docs):
+    """collapse_exact=True must be value-identical to collapse_exact=False
+    on a mixed corpus with exact dups (1,2,3) and a near dup (4): identical
+    normalized text means identical signatures and shingle/token sets, so
+    the collapse is a pure plan optimization."""
+    for fn, kw, score in (
+        (DD.minhash_lsh_pairs, dict(num_hashes=32, bands=8, threshold=0.3), "jaccard"),
+        (DD.simhash_near_pairs, dict(max_hamming=10), "hamming"),
+    ):
+        a = {
+            (r["id_a"], r["id_b"]): r[score]
+            for r in fn(docs, collapse_exact=True, **kw).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"]): r[score]
+            for r in fn(docs, collapse_exact=False, **kw).collect()
+        }
+        assert a == b, (fn.__name__, a, b)
+
+
+def test_band_bucket_cap_prunes_hot_buckets(spark):
+    """NEAR-identical flood (shared prefix + one unique token each — not
+    exact dups, so the collapse can't absorb them): max_bucket=1 drops
+    every multi-document (band, bucket) group, leaving zero candidates,
+    while the uncapped run surfaces the flood's near-dup pairs — the
+    documented recall trade of the cap."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" unique{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (
+        DD.minhash_lsh_pairs(df, num_hashes=16, bands=8, threshold=0.3, max_bucket=None).count()
+        > 0
+    )
+    assert (
+        DD.minhash_lsh_pairs(df, num_hashes=16, bands=8, threshold=0.3, max_bucket=1).count()
+        == 0
+    )
+    assert DD.simhash_near_pairs(df, max_hamming=10, max_bucket=None).count() > 0
+    assert DD.simhash_near_pairs(df, max_hamming=10, max_bucket=1).count() == 0
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import numpy as np
@@ -345,3 +422,44 @@ def test_real_bmp_wav_decode(spark):
     # frame_sample rides the same decode: 4 wav frames, every 2nd -> 0, 2
     fs = MM.frame_sample(df.where("doc_id = 2"), every=2).collect()
     assert sorted(r["frame_idx"] for r in fs) == [0, 2]
+
+
+def test_malformed_wav_raises_value_error():
+    """Malformed RIFF inputs fail the decoder's documented ValueError
+    contract (not a struct.error leaking from the executor): a short
+    'fmt ' chunk and a data chunk truncated below its declared size."""
+    import struct
+
+    def riff(*chunks):
+        body = b"WAVE" + b"".join(
+            cid + struct.pack("<I", size) + payload for cid, size, payload in chunks
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    short_fmt = riff((b"fmt ", 6, struct.pack("<IH", 1, 2)), (b"data", 4, b"\x01\x02\x03\x04"))
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        MM._decode_wav(short_fmt)
+
+    good_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    truncated = riff((b"fmt ", 16, good_fmt), (b"data", 100, b"\x01\x02\x03\x04"))
+    with pytest.raises(ValueError, match="data chunk truncated"):
+        MM._decode_wav(truncated)
+
+
+def test_zero_norm_vectors_excluded(spark, vectors):
+    """Zero-norm vectors have NaN cosine (which Spark sorts ABOVE every
+    number); they are intentionally dropped by exact_dup_canon and so
+    never appear in embedding_cosine_dups pairs or cosine_topk_lsh
+    rankings."""
+    zeros = spark.createDataFrame(
+        [(900, [0.0] * 16), (901, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    df = vectors.unionByName(zeros)
+    assert DD.exact_dup_canon(df, "vec_id", "embedding").where("id >= 900").count() == 0
+    pair_ids = DD.embedding_cosine_dups(df, threshold=0.95, dim=16).select(
+        F.explode(F.array("id_a", "id_b")).alias("i")
+    )
+    assert pair_ids.where("i >= 900").count() == 0
+    topk = SIM.cosine_topk_lsh(vectors.where("vec_id < 2"), df, k=5, dim=16)
+    assert topk.where("corpus_id >= 900").count() == 0
+    assert topk.where("isnan(cosine)").count() == 0
