@@ -98,7 +98,10 @@ def main() -> None:
         with open(os.path.join(DATA, "_SUCCESS_GEN"), "w") as f:
             f.write(json.dumps(SCALING_GEN_KWARGS))
     zpath = build_zip()
-    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    # >= 5 interleaved pairs so the gate can rest on a trimmed mean with a
+    # reported spread, not on best-of over pairs that individually span the
+    # host's 2-5x noise envelope
+    repeats = int(os.environ.get("SCALING_REPEATS", "5"))
 
     cal = hardware_calibration()
     hw_eff = (cal[N4] / cal[N]) / (N4 / N)
@@ -124,6 +127,18 @@ def main() -> None:
         round((results[N4][i]["turns_per_sec"] / results[N][i]["turns_per_sec"]) / (N4 / N), 3)
         for i in range(repeats)
     ]
+    # spread + trimmed mean over the interleaved pairs: with >= 5 pairs,
+    # drop the single best and single worst pair and average the rest —
+    # robust to one noisy-neighbor burst in either direction
+    srt = sorted(eff_pairs)
+    eff_trimmed = round(
+        statistics.mean(srt[1:-1] if len(srt) >= 3 else srt), 3
+    )
+    eff_spread = {
+        "min": min(eff_pairs),
+        "max": max(eff_pairs),
+        "stdev": round(statistics.stdev(eff_pairs), 3) if len(eff_pairs) > 1 else 0.0,
+    }
 
     lines = [
         "# BENCH — scaling evidence (north_rule)",
@@ -154,8 +169,12 @@ def main() -> None:
         "",
         f"**Scaling efficiency (thr_{N4} / thr_{N}) / {N4 // N}:**",
         f"best-of-{repeats} = **{eff_best:.3f}**, median = {eff_med:.3f},",
-        f"per-round interleaved pairs = {eff_pairs} (best pair {max(eff_pairs):.3f})",
-        f"({'PASS' if eff_best >= 0.8 else 'FAIL'} vs the >= 0.8 criterion on best-of).",
+        f"trimmed mean over pairs (drop best+worst) = **{eff_trimmed:.3f}**,",
+        f"per-round interleaved pairs = {eff_pairs}",
+        f"(spread: min {eff_spread['min']:.3f} / max {eff_spread['max']:.3f} /",
+        f"stdev {eff_spread['stdev']:.3f})",
+        f"({'PASS' if eff_best >= 0.8 else 'FAIL'} vs the >= 0.8 criterion on best-of;",
+        f"trimmed-mean {'PASS' if eff_trimmed >= 0.8 else 'FAIL'}).",
         "",
         "## Host calibration",
         "",
@@ -175,8 +194,10 @@ def main() -> None:
             {
                 "eff_best": round(eff_best, 3),
                 "eff_median": round(eff_med, 3),
+                "eff_trimmed_mean": eff_trimmed,
                 "eff_pairs_interleaved": eff_pairs,
                 "eff_pair_best": max(eff_pairs),
+                "eff_spread": eff_spread,
                 "hw_ceiling": round(hw_eff, 3),
                 "thr_N_best": best[N],
                 "thr_4N_best": best[N4],
@@ -194,7 +215,9 @@ def main() -> None:
             {
                 "eff_best": round(eff_best, 3),
                 "eff_median": round(eff_med, 3),
+                "eff_trimmed_mean": eff_trimmed,
                 "eff_pairs_interleaved": eff_pairs,
+                "eff_spread": eff_spread,
                 "hw_ceiling": round(hw_eff, 3),
                 "thr_N_best": best[N],
                 "thr_4N_best": best[N4],

@@ -130,7 +130,7 @@ def _regex(cols, params):
     pattern, allow: list of literal pass-through values, strip_time: bool.
     (validation_utils.py:150-202, generic_validator_classes.py:404-407)
     """
-    c = F.col(cols[0]).cast("string")
+    c = norm_blank_to_null(F.col(cols[0]).cast("string"))
     if params.get("strip_time"):
         c = strip_timestamp(c)
     cond = c.isNotNull() & ~c.rlike(params["pattern"])
@@ -146,7 +146,7 @@ def _date_by_unit(cols, params):
     columns=(date_col, unit_col); params: formats: {unit: regex},
     strip_time: bool.
     """
-    date_c = F.col(cols[0]).cast("string")
+    date_c = norm_blank_to_null(F.col(cols[0]).cast("string"))
     if params.get("strip_time"):
         date_c = strip_timestamp(date_c)
     unit_c = F.col(cols[1])
@@ -161,7 +161,7 @@ def _date_calendar(cols, params):
     """P11: format-matching string must be a real calendar date
     (organoid_ruleset.py:136-152). params: pattern (regex gate),
     format (to_date), strip_time."""
-    c = F.col(cols[0]).cast("string")
+    c = norm_blank_to_null(F.col(cols[0]).cast("string"))
     if params.get("strip_time"):
         c = strip_timestamp(c)
     gate = c.rlike(params.get("pattern", r"^\d{4}-\d{2}-\d{2}$"))
@@ -171,9 +171,9 @@ def _date_calendar(cols, params):
 
 @register("url")
 def _url(cols, params):
-    """P15: scheme allow-list (validation_utils.py:120-147).
-    params: schemes=['http','https'] (+'ftp','mailto')."""
-    c = F.col(cols[0]).cast("string")
+    """P15: scheme allow-list (validation_utils.py:120-147; blank/None
+    pass through per validate_url's early return)."""
+    c = norm_blank_to_null(F.col(cols[0]).cast("string"))
     schemes = params.get("schemes", ["http", "https"])
     pat = "^(" + "|".join(schemes) + ")://"
     ok = c.rlike(pat)
@@ -187,7 +187,7 @@ def _term_format(cols, params):
     """P3+P16-style: ontology-ish id must match pattern after
     underscore->colon normalization (validation_utils.py:5-15;
     generic_validator_classes.py:404-407). params: pattern."""
-    c = norm_term_colon(F.col(cols[0]).cast("string"))
+    c = norm_term_colon(norm_blank_to_null(F.col(cols[0]).cast("string")))
     return c.isNotNull() & ~c.rlike(params["pattern"]), _obs(cols[0])
 
 
@@ -196,7 +196,8 @@ def _consistency_map(cols, params):
     """P18: value must equal mapping[key] (standard_ruleset.py:49-70
     material -> Term Source ID). columns=(key_col, value_col);
     params: mapping: {key: expected}."""
-    key_c, val_c = F.col(cols[0]), F.col(cols[1])
+    key_c = norm_blank_to_null(F.col(cols[0]).cast("string"))
+    val_c = norm_blank_to_null(F.col(cols[1]).cast("string"))
     mapping: dict[str, str] = params["mapping"]
     expected = F.lit(None).cast("string")
     for k, v in mapping.items():

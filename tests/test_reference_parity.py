@@ -65,23 +65,39 @@ def _df(spark, rows, cols, schema):
     return spark.createDataFrame(data, schema)
 
 
+ORGANISM_ALIASES = {
+    "sample_name": "Sample Name", "material": "Material",
+    "term": "Term Source ID", "project": "Project",
+    "secondary_project": "Secondary Project", "availability": "Availability",
+    "organism": "Organism", "organism_term": "Organism Term Source ID",
+    "sex": "Sex", "sex_term": "Sex Term Source ID",
+    "birth_date": "Birth Date", "unit": "Unit",
+    "breed": "Breed", "breed_term": "Breed Term Source ID",
+    "birth_location_latitude": "Birth Location Latitude",
+    "birth_location_latitude_unit": "Birth Location Latitude Unit",
+    "birth_location_longitude": "Birth Location Longitude",
+    "birth_location_longitude_unit": "Birth Location Longitude Unit",
+    "birth_weight": "Birth Weight", "birth_weight_unit": "Birth Weight Unit",
+    "placental_weight": "Placental Weight",
+    "placental_weight_unit": "Placental Weight Unit",
+    "pregnancy_length": "Pregnancy Length",
+    "pregnancy_length_unit": "Pregnancy Length Unit",
+    "delivery_timing": "Delivery Timing", "delivery_ease": "Delivery Ease",
+    "pedigree": "Pedigree",
+}
+
+
 def test_organism_sheet_parity(spark, ref_data, golden):
     rows = ref_data["organism"]
-    df = _df(
-        spark,
-        rows,
-        ["Sample Name", "Material", "Term Source ID", "Secondary Project",
-         "Breed", "Breed Term Source ID", "Birth Date", "Unit", "Child Of"],
-        "name string, material string, term string, secondary_project string, "
-        "breed string, breed_term string, birth_date string, unit string, "
-        "child_of array<string>",
-    ).withColumn("conv_id", F.col("name")).withColumn("turn_idx", F.lit(0))
-
-    # enum/consistency_map/date_by_unit/required-warnings/array_size rules
-    # loaded as data (reference analogs cited in rulesets/organism.rules.json
-    # provenance: standard_ruleset.py:49-70, base_validator.py:91-103,
-    # organism_ruleset.py:249-260)
+    # the FULL shipped organism ruleset (37 rules transcribing
+    # organism_ruleset.py:46-281: core metadata, NCBITaxon/PATO/LBO term
+    # formats, birth date by unit, lat/lon ranges, weight/length numerics +
+    # unit enums, delivery enums, breed pairing, child_of cardinality,
+    # pedigree URL) over every column the golden sheet carries
     rules = _ruleset("organism")
+    df = _sheet_df(spark, rows, rules, ORGANISM_ALIASES).withColumn(
+        "conv_id", F.col("sample_name")
+    ).withColumn("turn_idx", F.lit(0))
     v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
     by_sample: dict[str, dict[str, set]] = {}
     for r in v.collect():
@@ -89,12 +105,15 @@ def test_organism_sheet_parity(spark, ref_data, golden):
         d[r["severity"]].add(r["rule_id"])
 
     # circular child_of (J9)
-    ents = df.select("name", F.filter("child_of", lambda x: F.trim(x) != "").alias("parents"))
+    ents = df.select(
+        F.col("sample_name").alias("name"),
+        F.coalesce(F.col("child_of"), F.array()).alias("parents"),
+    )
     circ = {r["conv_id"] for r in circular_reference_rule(ents, "name", "parents", "R_circular").collect()}
     # referential existence of child_of (J6) against the batch
-    names = df.select(F.col("name").alias("id"))
+    names = df.select(F.col("sample_name").alias("id"))
     exploded = df.select("conv_id", F.lit(0).alias("turn_idx"),
-                         F.explode(F.filter("child_of", lambda x: F.trim(x) != "")).alias("ref"))
+                         F.explode("child_of").alias("ref"))
     missing_refs = {r["conv_id"] for r in anti_join_rule(exploded, names, "ref", "id", "R_ref", ds=False).collect()}
 
     g = golden["results_by_type"]["organism"]
@@ -117,37 +136,61 @@ def test_organism_sheet_parity(spark, ref_data, golden):
                             "warnings": 2, "relationship_errors": 1}
 
 
+ORGANOID_ALIASES = {
+    "sample_name": "Sample Name", "material": "Material",
+    "term": "Term Source ID", "project": "Project",
+    "secondary_project": "Secondary Project", "availability": "Availability",
+    "organ_model": "Organ Model",
+    "organ_model_term": "Organ Model Term Source ID",
+    "organ_part_model": "Organ Part Model",
+    "organ_part_model_term": "Organ Part Model Term Source ID",
+    "freezing_method": "Freezing Method",
+    "freezing_date": "Freezing Date", "freezing_date_unit": "Unit",
+    "freezing_protocol": "Freezing Protocol",
+    "organoid_passage": "Organoid Passage",
+    "organoid_passage_unit": "Organoid Passage Unit",
+    "organoid_passage_protocol": "Organoid Passage Protocol",
+    "organoid_culture_and_passage_protocol": "Organoid Culture And Passage Protocol",
+    "type_of_organoid_culture": "Type Of Organoid Culture",
+    "growth_environment": "Growth Environment",
+    "number_of_frozen_cells": "Number Of Frozen Cells",
+    "number_of_frozen_cells_unit": "Number Of Frozen Cells Unit",
+}
+
+
 def test_organoid_sheet_parity(spark, ref_data, golden):
     rows = ref_data["organoid"]
-    df = _df(
-        spark,
-        rows,
-        ["Sample Name", "Organ Model Term Source ID", "Freezing Method",
-         "Freezing Date", "Freezing Protocol", "Derived From"],
-        "name string, organ_model_term string, freezing_method string, "
-        "freezing_date string, freezing_protocol string, derived_from string",
-    ).withColumn("conv_id", F.col("name")).withColumn("turn_idx", F.lit(0)).withColumn(
-        "ds", F.lit("d")
-    )
+    rules = _ruleset("organoid")
+    df = _sheet_df(spark, rows, rules, ORGANOID_ALIASES).withColumn(
+        "conv_id", F.col("sample_name")
+    ).withColumn("turn_idx", F.lit(0)).withColumn("ds", F.lit("d"))
 
     # prefix routing: organ model term must be UBERON or BTO
-    # (organoid ruleset; golden error on 'UBERONx:0001153')
+    # (organoid ruleset; golden error on 'UBERONx:0001153') — routing stays
+    # a code-side ontology pass (J2), as in the reference's OntologyValidator
     pref = prefix_route_rule(df, "organ_model_term", {"organ": ["UBERON", "BTO"]},
                              "R_organ_model_prefix")
     errors = {r["conv_id"]: r["observed"] for r in pref.collect()}
 
-    # X3: freezing date+protocol required unless method == 'fresh'
+    # the FULL shipped organoid ruleset (33 rules transcribing
+    # organoid_ruleset.py:17-228: freezing-method/growth-environment/culture
+    # enums, passage numeric+unit, protocol URLs, freezing date by unit +
+    # real-calendar, X3 conditional freezing, X2 organ-part pairing,
+    # derived_from == 1) must emit ZERO rows on the two golden records —
+    # both are 'fresh' with sentinel freezing fields and valid values
     x3 = compile_row_rules(
-        df, _ruleset("organoid"), key_cols=("conv_id", "turn_idx"), partition_col=None
+        df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None
     )
-    assert x3.count() == 0  # both records are 'fresh' -> no requirement
+    assert x3.count() == 0
 
     # J6: derived_from must exist in the batch (organism + specimen + organoid)
     batch_names = [r["Sample Name"] for sheet in
                    ("organism", "specimen_from_organism", "organoid")
                    for r in ref_data[sheet]]
     dim = spark.createDataFrame([(n,) for n in batch_names], "id string")
-    missing = anti_join_rule(df, dim, "derived_from", "id", "R_derived_exists", ds=False)
+    probe = df.select("conv_id", "turn_idx", "ds",
+                      F.explode("derived_from").alias("ref"))
+    missing = anti_join_rule(probe, dim, "ref", "id", "R_derived_exists", ds=False)
     missing_by = {r["conv_id"]: r["observed"] for r in missing.collect()}
 
     g = golden["results_by_type"]["organoid"]
@@ -158,21 +201,76 @@ def test_organoid_sheet_parity(spark, ref_data, golden):
     assert g["summary"]["relationship_errors"] == 1
 
 
+TPH_ALIASES = {
+    "sample_name": "Sample Name", "material": "Material",
+    "term": "Term Source ID", "project": "Project",
+    "secondary_project": "Secondary Project", "availability": "Availability",
+    "unit": "Unit",
+    "specimen_collection_date": "Specimen Collection Date",
+    "geographic_location": "Geographic Location",
+    "animal_age_at_collection": "Animal Age At Collection",
+    "animal_age_at_collection_unit": "Animal Age At Collection Unit",
+    "developmental_stage": "Developmental Stage",
+    "organism_part": "Organism Part",
+    "specimen_collection_protocol": "Specimen Collection Protocol",
+    "fasted_status": "Fasted Status", "number_of_pieces": "Number of Pieces",
+    "specimen_volume": "Specimen Volume",
+    "specimen_volume_unit": "Specimen Volume Unit",
+    "specimen_size": "Specimen Size", "specimen_size_unit": "Specimen Size Unit",
+    "specimen_weight": "Specimen Weight",
+    "specimen_weight_unit": "Specimen Weight Unit",
+    "gestational_age_at_sample_collection": "Gestational Age At Sample Collection",
+    "gestational_age_at_sample_collection_unit": "Gestational Age At Sample Collection Unit",
+    "average_incubation_temperature": "Average Incubation temperature",
+    "average_incubation_temperature_unit": "Average Incubation temperature Unit",
+    "average_incubation_humidity": "Average Incubation Humidity",
+    "average_incubation_humidity_unit": "Average Incubation Humidity Unit",
+    "embryonic_stage": "Embryonic Stage",
+    "embryonic_stage_unit": "Embryonic Stage Unit",
+    "origin": "Origin", "reproductive_strategy": "Reproductive Strategy",
+    "gonad_type": "Gonad Type", "hatching": "Hatching",
+    "maturity_state": "Maturity State",
+    "maturity_state_term": "Maturity State Term Source ID",
+    "time_post_fertilisation": "Time Post Fertilisation",
+    "time_post_fertilisation_unit": "Time Post Fertilisation Unit",
+    "post_hatching_animal_density": "Post-hatching Animal Density",
+    "post_hatching_animal_density_unit": "Post-hatching Animal Density Unit",
+    "food_restriction": "Food Restriction",
+    "food_restriction_unit": "Food Restriction Unit",
+    "post_hatching_water_temperature_average": "Post-hatching Water Temperature Average",
+    "post_hatching_water_temperature_average_unit": "Post-hatching Water Temperature Average Unit",
+    "average_water_salinity": "Average Water Salinity",
+    "average_water_salinity_unit": "Average Water Salinity Unit",
+    "photoperiod": "Photoperiod",
+    "sampling_weight": "Sampling Weight",
+    "sampling_weight_unit": "Sampling Weight Unit",
+    "method_of_euthanasia": "Method Of Euthanasia",
+    "generations_from_wild": "Generations From Wild",
+    "generations_from_wild_unit": "Generations From Wild Unit",
+    "standard_length": "Standard Length",
+    "standard_length_unit": "Standard Length Unit",
+    "total_length": "Total Length", "total_length_unit": "Total Length Unit",
+    "fork_length": "Fork Length", "fork_length_unit": "Fork Length Unit",
+    "water_rearing_system": "Water Rearing System",
+    "average_water_oxygen": "Average Water Oxygen",
+    "average_water_oxygen_unit": "Average Water Oxygen Unit",
+    "sampling_day_start_time": "Sampling Day Start Time",
+    "sampling_day_end_time": "Sampling Day End Time",
+    "anaesthetic_or_sedative_name": "Anaesthetic Or Sedative Name",
+}
+
+
 def test_teleostei_post_hatching_parity(spark, ref_data, golden):
     rows = ref_data["teleostei_post_hatching"]
-    hs = [[(e["text"], e["term"]) for e in r.get("Health Status", [])] for r in rows]
-    df = spark.createDataFrame(
-        [
-            (r["Sample Name"], r["Term Source ID"], str(r["Sampling Weight"]), h)
-            for r, h in zip(rows, hs)
-        ],
-        "name string, term string, sampling_weight string, "
-        "hs array<struct<text:string,term:string>>",
-    ).withColumn("conv_id", F.col("name")).withColumn("turn_idx", F.lit(0)).withColumn(
-        "ds", F.lit("d")
-    )
-
+    # the FULL shipped post-hatching ruleset (73 rules: the inherited
+    # specimen core block + teleostei_post_hatching_ruleset.py:16-232
+    # transcriptions — gonad/origin/euthanasia/anaesthetic enums, maturity
+    # PATO term format, density/food/temperature/salinity/length numerics
+    # with unit enums, photoperiod, HH:MM sampling times, water oxygen)
     rules = _ruleset("teleostei_post_hatching")
+    df = _sheet_df(spark, rows, rules, TPH_ALIASES).withColumn(
+        "conv_id", F.col("sample_name")
+    ).withColumn("turn_idx", F.lit(0)).withColumn("ds", F.lit("d"))
     v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
     by_sample: dict[str, set] = {}
     for r in v.collect():
@@ -184,18 +282,111 @@ def test_teleostei_post_hatching_parity(spark, ref_data, golden):
          ("PATO:0000462", "absent", "PATO", ["PATO:0000462"])],
         "term string, label string, ontology string, is_a_path array<string>",
     )
-    nested = nested_elements_rule(df, dim_terms, "hs", "R_hs_exists", "R_hs_label")
+    nested = nested_elements_rule(df, dim_terms, "health_status",
+                                  "R_hs_exists", "R_hs_label")
     nested_by = {(r["conv_id"], r["rule_id"]) for r in nested.collect()}
 
     g = golden["results_by_type"]["teleostei_post_hatching"]
     golden_invalid = {e["sample_name"] for e in g["invalid_teleostei_post_hatchings"]}
     assert set(by_sample) == golden_invalid == {"teleostei_post_hatching_1"}
+    # R_material_term fires alongside R_term_source_enum: both are facets
+    # of the same broken Term Source ID ('OBI_0001479777'); the reference's
+    # Pydantic stops at the Literal failure and skips validate_material_term
+    # for the already-failed field, while this engine evaluates every rule
+    # independently — the record-level verdict is identical
     assert by_sample["teleostei_post_hatching_1"] == {
-        "R_term_source_enum", "R_sampling_weight",
+        "R_term_source_enum", "R_material_term", "R_sampling_weight",
     }
     # golden ontology warning: 'normal' vs label 'absent' for PATO:0000462
     # (term arrives in underscore form -> P3 normalization inside the rule)
     assert nested_by == {("teleostei_post_hatching_1", "R_hs_label")}
+
+
+def test_backfilled_rulesets_seeded_violations(spark, ref_data):
+    """Negative controls for the back-filled organism / organoid /
+    teleostei_post_hatching rulesets: corrupt fields of golden-valid
+    records and assert exactly those rules fire — without seeding, the
+    all-valid golden rows would leave most of the new rules vacuously
+    green (the test_teleostei_embryo_seeded_violations pattern)."""
+    # organism: out-of-range latitude, enum miss, bad URL scheme, non-PATO sex
+    orows = [dict(ref_data["organism"][1])]
+    orows[0]["Birth Location Latitude"] = "95"
+    orows[0]["Delivery Ease"] = "teleportation"
+    orows[0]["Pedigree"] = "gopher://pedigree.example"
+    orows[0]["Sex Term Source ID"] = "EFO_0000383"
+    rules = _ruleset("organism")
+    df = _sheet_df(spark, orows, rules, ORGANISM_ALIASES).withColumn(
+        "conv_id", F.col("sample_name")).withColumn("turn_idx", F.lit(0))
+    v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
+    fired = {r["rule_id"] for r in v.collect() if r["severity"] == "error"}
+    assert fired == {"R_lat", "R_delivery_ease", "R_pedigree_url",
+                     "R_sex_term_format"}, fired
+
+    # organoid: enum misses + negative passage on the otherwise-clean S1
+    arows = [dict(ref_data["organoid"][0])]
+    arows[0]["Freezing Method"] = "microwave"
+    arows[0]["Organoid Passage"] = "-1"
+    arows[0]["Growth Environment"] = "lava"
+    rules = _ruleset("organoid")
+    df = _sheet_df(spark, arows, rules, ORGANOID_ALIASES).withColumn(
+        "conv_id", F.col("sample_name")).withColumn("turn_idx", F.lit(0))
+    v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
+    fired = {r["rule_id"] for r in v.collect() if r["severity"] == "error"}
+    assert fired == {"R_freezing_method", "R_organoid_passage",
+                     "R_growth_environment"}, fired
+
+    # post-hatching: enum miss, euthanasia miss, HH:MM violation,
+    # non-PATO maturity term, out-of-range photoperiod hours
+    trows = [dict(ref_data["teleostei_post_hatching"][1])]
+    trows[0]["Gonad Type"] = "brain"
+    trows[0]["Method Of Euthanasia"] = "old age"
+    trows[0]["Sampling Day Start Time"] = "25:61"
+    trows[0]["Maturity State Term Source ID"] = "EFO:0001701"
+    trows[0]["Photoperiod"] = "99L:12D"
+    rules = _ruleset("teleostei_post_hatching")
+    df = _sheet_df(spark, trows, rules, TPH_ALIASES).withColumn(
+        "conv_id", F.col("sample_name")).withColumn("turn_idx", F.lit(0))
+    v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
+    fired = {r["rule_id"] for r in v.collect() if r["severity"] == "error"}
+    assert fired == {"R_gonad_type", "R_euthanasia", "R_sampling_start_time",
+                     "R_maturity_state_term_format", "R_photoperiod"}, fired
+
+
+def test_organism_biosample_export_parity(spark, ref_data):
+    """Byte-level S7 parity: the valid new_example.json organism records
+    run through export_organism_biosample and must equal the reference's
+    golden biosample_exports payloads KEY-FOR-KEY (validation_results.json
+    'biosample_exports'.organism, produced by organism_validator.py:36-95
+    via unified_validator.py:252-269): OBO PURL expansion, unit carriage,
+    conditional omission of blank birth date / breed / health status /
+    relationships. to_json drops NULL struct fields, which IS the
+    reference's key-omission semantics."""
+    from faang_pydantics_validation_spark.plans.verdicts import (
+        export_organism_biosample,
+    )
+
+    rules = _ruleset("organism")
+    rows = ref_data["organism"]
+    df = _sheet_df(spark, rows, rules, ORGANISM_ALIASES)
+    v = compile_row_rules(
+        df.withColumn("conv_id", F.col("sample_name")).withColumn("turn_idx", F.lit(0)),
+        rules, key_cols=("conv_id", "turn_idx"), partition_col=None,
+    )
+    bad = sorted({r["conv_id"] for r in v.collect() if r["severity"] == "error"})
+    exp = export_organism_biosample(
+        df.where(~F.col("sample_name").cast("string").isin(bad))
+    )
+    got = {
+        r["sample_name"]: json.loads(r["js"])
+        for r in exp.select(
+            "sample_name", F.to_json("biosample_format").alias("js")
+        ).collect()
+    }
+    want = {
+        e["sample_name"]: e["biosample_format"]
+        for e in json.load(open(GOLDEN))["biosample_exports"]["organism"]
+    }
+    assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) ^ set(want) or got}
 
 
 def test_total_summary_parity(spark, golden):
@@ -442,6 +633,7 @@ SHEET_ARRAY_ALIASES = {
     "specimen_picture_url": "Specimen Picture URL",
     "cell_type": "Cell Type",
     "health_status": "Health Status",
+    "child_of": "Child Of",
 }
 
 
