@@ -135,6 +135,27 @@ def ngram_jaccard_pairs(
     return scored
 
 
+def _persisted(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _text_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(rep, id), persisted: rep = min(id) over normalization-identical
+    documents, computed WITHOUT shuffling the text column — the md5 digest
+    is evaluated map-side and only the slim (digest, id) pairs shuffle
+    (one map-side-combined groupBy + one equi-join). Persisted because it
+    feeds the representative semi-join AND the intra/inter pair
+    re-expansion joins."""
+    slim = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalized_text(F.col(text_col))).alias("__dig"),
+    )
+    groups = slim.groupBy("__dig").agg(F.min("id").alias("rep"))
+    return _persisted(slim.join(groups, "__dig").select("rep", "id"))
+
+
 def text_dup_canon(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Adds __rep = min(id) over documents with IDENTICAL normalized text
     (keyed on md5 of the normalized text) — the text twin of
@@ -191,19 +212,19 @@ def _bucket_cap(banded: DataFrame, keys: list[str], max_bucket: int | None) -> D
     Recall trade: a true near-dup pair is lost only if EVERY band it
     collides on is hot; with the default cap (1000) that requires a
     >1000-document near-identical flood, which a dedup pipeline should
-    handle via the exact/collapse path anyway. Implemented as a window
-    count so the (band, bucket) shuffle is the SAME exchange the self-join
-    needs — the cap adds no extra fact-sized shuffle."""
+    handle via the exact/collapse path anyway. Implemented as a map-side-
+    combined count of hot buckets (a FEW rows by definition — anything
+    over the cap) broadcast anti-joined back: no window sort of the banded
+    stream, no extra fact-sized shuffle."""
     if max_bucket is None:
         return banded
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*keys)
-    return (
-        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
-        .where(F.col("__bn") <= max_bucket)
-        .drop("__bn")
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") > max_bucket)
+        .select(*keys)
     )
+    return banded.join(F.broadcast(hot), on=keys, how="left_anti")
 
 
 def minhash_signatures(
@@ -244,9 +265,11 @@ def minhash_lsh_pairs(
     LSH probabilistic tradeoff, tuned by bands/rows).
 
     collapse_exact (default ON): normalization-identical documents are
-    collapsed to one representative BEFORE signatures (text_dup_canon) and
-    the pair set re-expanded after — intra-group pairs at jaccard exactly
-    1.0, representative pairs fanned out to all member combinations at the
+    collapsed to one representative per text digest (_text_members — a
+    slim (digest, id) groupBy, the text column never shuffles) and only
+    representatives enter the banded self-join; the pair set is
+    re-expanded after — intra-group pairs at jaccard exactly 1.0,
+    representative pairs fanned out to all member combinations at the
     representative jaccard. Identical text means identical signatures and
     identical shingle sets, so the output is value-identical to the
     uncollapsed run while duplicate clusters cost O(cluster) instead of
@@ -254,13 +277,17 @@ def minhash_lsh_pairs(
     residual hazard of NEAR-identical floods (see _bucket_cap).
 
     Output: (id_a, id_b[, jaccard]) distinct."""
-    members = None
-    if collapse_exact:
-        canoned = text_dup_canon(df, id_col, text_col)
-        members = canoned.select(F.col("__rep").alias("rep"), F.col(id_col).alias("id"))
-        df = canoned.where(F.col(id_col) == F.col("__rep")).drop("__rep")
+    members = _text_members(df, id_col, text_col) if collapse_exact else None
     rows_per_band = num_hashes // bands
+    # signatures are computed for ALL documents (duplicate copies combine
+    # map-side in the shingle groupBy — linear work, and the fat text
+    # column never shuffles for the collapse); only REPRESENTATIVES enter
+    # the banded join via a slim semi-join on id.
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if members is not None:
+        sigs = sigs.join(
+            members.where(F.col("id") == F.col("rep")).select("id"), "id", "leftsemi"
+        )
     banded = sigs.select(
         "id",
         F.explode(
@@ -277,6 +304,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    # slim, consumed by the hot-bucket count and both self-join sides
+    banded = _persisted(banded)
     banded = _bucket_cap(banded, ["band", "bh"], max_bucket)
     cand = (
         banded.alias("a")
@@ -365,20 +394,20 @@ def simhash_near_pairs(
     for guarantee). Candidates verified with bit_count.
 
     collapse_exact (default ON): normalization-identical documents collapse
-    to one representative before hashing (text_dup_canon) and the pair set
-    re-expands after — intra-group pairs at hamming exactly 0,
-    representative pairs fanned out at the representative hamming.
-    Identical text means identical token streams and identical simhash, so
-    the output is value-identical to the uncollapsed run while duplicate
-    clusters cost O(cluster) instead of O(cluster^2) in the chunk
-    self-join. max_bucket bounds the residual near-identical-flood hazard
-    (see _bucket_cap)."""
-    members = None
-    if collapse_exact:
-        canoned = text_dup_canon(df, id_col, text_col)
-        members = canoned.select(F.col("__rep").alias("rep"), F.col(id_col).alias("id"))
-        df = canoned.where(F.col(id_col) == F.col("__rep")).drop("__rep")
+    to one representative per text digest (_text_members; only
+    representatives enter the chunk self-join) and the pair set re-expands
+    after — intra-group pairs at hamming exactly 0, representative pairs
+    fanned out at the representative hamming. Identical text means
+    identical token streams and identical simhash, so the output is
+    value-identical to the uncollapsed run while duplicate clusters cost
+    O(cluster) instead of O(cluster^2) in the chunk self-join. max_bucket
+    bounds the residual near-identical-flood hazard (see _bucket_cap)."""
+    members = _text_members(df, id_col, text_col) if collapse_exact else None
     sigs = simhash(df, id_col, text_col)
+    if members is not None:
+        sigs = sigs.join(
+            members.where(F.col("id") == F.col("rep")).select("id"), "id", "leftsemi"
+        )
     width = 64 // n_bands
     banded = sigs.select(
         "id",
@@ -397,6 +426,7 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.chunk")
+    banded = _persisted(banded)
     banded = _bucket_cap(banded, ["band", "chunk"], max_bucket)
     cand = (
         banded.alias("a")
