@@ -421,6 +421,28 @@ def q_text_quality(spark, sf_dir):
     return TX.quality_features(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_pipeline_kept(spark, sf_dir):
+    """End-to-end curation pipeline (jobs/dedup_cli.py), SQL-expressible
+    subset: exact-dedup survivors filtered by quality (n_words >= 5,
+    alpha_ratio >= 0.5) and a detected language (lang_guess != 'und') —
+    stages 1 and 3 of the CLI with a value-exact DuckDB twin (the MinHash
+    stage 2 has its own oracle pair: minhash_jaccard_verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = DD.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    surv = docs.join(keep, "doc_id", "leftsemi")
+    q = TX.quality_features(surv).select("doc_id", "n_words", "alpha_ratio")
+    lid = TX.language_id(surv).select("doc_id", "lang_guess")
+    return (
+        q.join(lid, "doc_id")
+        .where(
+            (F.col("n_words") >= 5)
+            & (F.col("alpha_ratio") >= 0.5)
+            & (F.col("lang_guess") != "und")
+        )
+        .select("doc_id", F.col("n_words").cast("int").alias("n_words"), "lang_guess")
+    )
+
+
 def q_text_langid(spark, sf_dir):
     return TX.language_id(_t(spark, sf_dir, "documents"))
 
@@ -599,6 +621,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "dedup_exact_documents": q_dedup_exact_documents,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_pipeline_kept": q_dedup_pipeline_kept,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,

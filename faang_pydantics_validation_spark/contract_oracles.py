@@ -301,6 +301,53 @@ ORACLES: dict[str, str] = {
                cast(count(*) AS bigint) n_docs, min(doc_id) keep_id
         FROM documents GROUP BY 1
     """,
+    "dedup_pipeline_kept": r"""
+        -- dedup_cli stages 1+3: exact-dedup survivors (min doc_id per
+        -- normalized-text digest) filtered by quality + detected language;
+        -- expressions mirror the text_quality / text_langid oracles
+        WITH keep AS (
+          SELECT min(doc_id) doc_id
+          FROM documents
+          GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ),
+        s AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+        b AS (
+          SELECT doc_id, len(text) n_chars,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END n_words,
+                 len(regexp_replace(text, '[^A-Za-z]', '', 'g')) n_alpha
+          FROM s
+        ),
+        norm AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = '' THEN []::varchar[]
+                      ELSE string_split_regex(trim(lower(text)), '\s+') END ws
+          FROM s
+        ),
+        scores AS (
+          SELECT doc_id, sc.lang, sc.tb,
+                 len(list_filter(ws, w -> list_contains(sc.markers, w))) hits
+          FROM norm, (VALUES
+            ('de', ['der','die','und','das','ein','nicht'], 3),
+            ('en', ['the','a','of','and','to','is'], 2),
+            ('es', ['el','la','los','que','una','es'], 1),
+            ('fr', ['le','la','et','les','des','une'], 0)) sc(lang, markers, tb)
+        ),
+        best AS (
+          SELECT doc_id, lang, hits,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, tb DESC) rn
+          FROM scores
+        ),
+        lid AS (
+          SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END lang_guess
+          FROM best WHERE rn = 1
+        )
+        SELECT b.doc_id, cast(b.n_words AS int) n_words, lid.lang_guess
+        FROM b JOIN lid USING (doc_id)
+        WHERE b.n_words >= 5
+          AND round(b.n_alpha / greatest(b.n_chars, 1)::double, 6) >= 0.5
+          AND lid.lang_guess <> 'und'
+    """,
     "dedup_ngram_jaccard": r"""
         WITH norm AS (
           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t

@@ -22,7 +22,7 @@ feeding only the `keep_id` survivors to the near-dup passes is still the
 cheap 10-100x win (web corpora are dominated by byte-identical copies),
 but it is no longer load-bearing: `minhash_lsh_pairs` and
 `simhash_near_pairs` now collapse normalization-identical documents to one
-representative INTERNALLY (text_dup_canon, the same recipe
+representative INTERNALLY (_text_members, the same recipe
 embedding_cosine_dups uses via exact_dup_canon) before computing
 signatures, and re-expand the pair set afterwards — identical documents
 have identical signatures, so the emitted pairs are value-identical to the
@@ -154,20 +154,6 @@ def _text_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     groups = slim.groupBy("__dig").agg(F.min("id").alias("rep"))
     return _persisted(slim.join(groups, "__dig").select("rep", "id"))
-
-
-def text_dup_canon(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Adds __rep = min(id) over documents with IDENTICAL normalized text
-    (keyed on md5 of the normalized text) — the text twin of
-    exact_dup_canon. One shuffle on the digest; used by the signature-based
-    near-dup operators to keep byte-identical duplicate clusters out of
-    the banded self-joins: identical text means identical MinHash/SimHash
-    signatures, so all copies land in the same bucket in EVERY band and
-    would otherwise generate O(cluster^2) candidate rows."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.md5(normalized_text(F.col(text_col))))
-    return df.withColumn("__rep", F.min(F.col(id_col)).over(w))
 
 
 def _expand_member_pairs(

@@ -90,7 +90,7 @@ def test_minhash_duplicate_cluster_not_quadratic(spark):
         (500 + j, " ".join(f"u{j}x{k}" for k in range(12))) for j in range(1, 5)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    assert DD.text_dup_canon(df, "doc_id", "text").where("doc_id = __rep").count() == 5
+    assert DD._text_members(df, "doc_id", "text").where("id = rep").count() == 5
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in DD.minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.5).collect()
