@@ -251,9 +251,6 @@ def export_valid_structured(
     )
 
 
-_OBO = "http://purl.obolibrary.org/obo/"
-
-
 def export_organism_biosample(organisms: DataFrame) -> DataFrame:
     """S7, byte-level analog of the organism BioSamples export
     (organism_validator.py:36-95 via unified_validator.py:252-269):
@@ -274,62 +271,11 @@ def export_organism_biosample(organisms: DataFrame) -> DataFrame:
     Expects the parity column naming: sample_name, material, term,
     organism, organism_term, sex, sex_term, birth_date, unit, breed,
     breed_term, health_status array<struct<text,term>>,
-    child_of array<string>."""
+    child_of array<string>.
 
-    def term_entry(text_col: str, term_col: str):
-        return F.array(
-            F.struct(
-                F.col(text_col).cast("string").alias("text"),
-                F.array(_term_to_url(F.col(term_col))).alias("ontologyTerms"),
-            )
-        )
+    Implemented via the declarative export-spec compiler — see
+    plans/exports.py, where all FIVE reference export projections live
+    as data (the export analog of rules-as-data)."""
+    from .exports import ORGANISM_EXPORT, biosample_export
 
-    nonblank = lambda c: F.col(c).isNotNull() & (F.trim(F.col(c)) != "")  # noqa: E731
-    birth = F.when(
-        nonblank("birth_date"),
-        F.array(
-            F.struct(
-                F.col("birth_date").cast("string").alias("text"),
-                F.coalesce(F.col("unit").cast("string"), F.lit("")).alias("unit"),
-            )
-        ),
-    )
-    breed = F.when(nonblank("breed"), term_entry("breed", "breed_term"))
-    hs = F.when(
-        F.col("health_status").isNotNull() & (F.size("health_status") > 0),
-        F.transform(
-            "health_status",
-            lambda s: F.struct(
-                s["text"].alias("text"),
-                F.array(
-                    F.concat(F.lit(_OBO), F.regexp_replace(s["term"], ":", "_"))
-                ).alias("ontologyTerms"),
-            ),
-        ),
-    )
-    parents = F.filter(
-        F.coalesce(F.col("child_of"), F.array().cast("array<string>")),
-        lambda x: x.isNotNull() & (F.trim(x) != ""),
-    )
-    rels = F.when(
-        F.size(parents) > 0,
-        F.transform(
-            parents,
-            lambda x: F.struct(F.lit("child of").alias("type"), x.alias("target")),
-        ),
-    )
-    characteristics = F.struct(
-        term_entry("material", "term").alias("material"),
-        term_entry("organism", "organism_term").alias("organism"),
-        term_entry("sex", "sex_term").alias("sex"),
-        birth.alias("birth date"),
-        breed.alias("breed"),
-        hs.alias("health status"),
-    )
-    return organisms.select(
-        F.col("sample_name"),
-        F.struct(
-            characteristics.alias("characteristics"),
-            rels.alias("relationships"),
-        ).alias("biosample_format"),
-    )
+    return biosample_export(organisms, ORGANISM_EXPORT)

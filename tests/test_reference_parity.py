@@ -389,6 +389,190 @@ def test_organism_biosample_export_parity(spark, ref_data):
     assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) ^ set(want) or got}
 
 
+# ---- byte-level BioSamples export parity, all five exported types ----------
+
+_EXPORT_CORE = {
+    "sample_name": "Sample Name", "material": "Material",
+    "term": "Term Source ID",
+}
+_EXPORT_SPECIMEN_BASE = {
+    **_EXPORT_CORE,
+    "specimen_collection_date": "Specimen Collection Date", "unit": "Unit",
+    "geographic_location": "Geographic Location",
+    "animal_age_at_collection": "Animal Age At Collection",
+    "animal_age_at_collection_unit": "Animal Age At Collection Unit",
+    "developmental_stage": "Developmental Stage",
+    "developmental_stage_term": "Developmental Stage Term Source ID",
+    "organism_part": "Organism Part",
+    "organism_part_term": "Organism Part Term Source ID",
+    "specimen_collection_protocol": "Specimen Collection Protocol",
+}
+EXPORT_ALIASES = {
+    "organism": {
+        **_EXPORT_CORE,
+        "organism": "Organism", "organism_term": "Organism Term Source ID",
+        "sex": "Sex", "sex_term": "Sex Term Source ID",
+        "birth_date": "Birth Date", "unit": "Unit",
+        "breed": "Breed", "breed_term": "Breed Term Source ID",
+    },
+    "organoid": {
+        **{k: v for k, v in ORGANOID_ALIASES.items()
+           if k not in ("project", "secondary_project", "availability")},
+        "organoid_morphology": "Organoid Morphology",
+    },
+    "specimen_from_organism": {
+        **_EXPORT_SPECIMEN_BASE,
+        "fasted_status": "Fasted Status",
+        "number_of_pieces": "Number of Pieces",
+        "number_of_pieces_unit": "Number of Pieces Unit",
+        "specimen_volume": "Specimen Volume",
+        "specimen_volume_unit": "Specimen Volume Unit",
+        "specimen_size": "Specimen Size",
+        "specimen_size_unit": "Specimen Size Unit",
+        "specimen_weight": "Specimen Weight",
+        "specimen_weight_unit": "Specimen Weight Unit",
+        "gestational_age_at_sample_collection": "Gestational Age At Sample Collection",
+        "gestational_age_at_sample_collection_unit": "Gestational Age At Sample Collection Unit",
+        "average_incubation_temperature": "Average Incubation temperature",
+        "average_incubation_temperature_unit": "Average Incubation temperature Unit",
+        "average_incubation_humidity": "Average Incubation Humidity",
+        "average_incubation_humidity_unit": "Average Incubation Humidity Unit",
+        "embryonic_stage": "Embryonic Stage",
+        "embryonic_stage_unit": "Embryonic Stage Unit",
+    },
+    "teleostei_embryo": {
+        **_EXPORT_SPECIMEN_BASE,
+        "origin": "Origin", "reproductive_strategy": "Reproductive Strategy",
+        "hatching": "Hatching",
+        "time_post_fertilisation": "Time Post Fertilisation",
+        "time_post_fertilisation_unit": "Time Post Fertilisation Unit",
+        "pre_hatching_water_temperature_average": "Pre-hatching Water Temperature Average",
+        "pre_hatching_water_temperature_average_unit": "Pre-hatching Water Temperature Average Unit",
+        "post_hatching_water_temperature_average": "Post-hatching Water Temperature Average",
+        "post_hatching_water_temperature_average_unit": "Post-hatching Water Temperature Average Unit",
+        "degree_days": "Degree Days", "degree_days_unit": "Degree Days Unit",
+        "growth_media": "Growth Media",
+        "medium_replacement_frequency": "Medium Replacement Frequency",
+        "medium_replacement_frequency_unit": "Medium Replacement Frequency Unit",
+        "percentage_total_somite_number": "Percentage Total Somite Number",
+        "percentage_total_somite_number_unit": "Percentage Total Somite Number Unit",
+        "average_water_salinity": "Average Water Salinity",
+        "average_water_salinity_unit": "Average Water Salinity Unit",
+        "photoperiod": "Photoperiod",
+        "generations_from_wild": "Generations From Wild",
+        "generations_from_wild_unit": "Generations From Wild Unit",
+    },
+    "teleostei_post_hatching": {
+        **_EXPORT_SPECIMEN_BASE,
+        **{k: v for k, v in (
+            ("origin", "Origin"),
+            ("reproductive_strategy", "Reproductive Strategy"),
+            ("gonad_type", "Gonad Type"), ("hatching", "Hatching"),
+            ("maturity_state", "Maturity State"),
+            ("maturity_state_term", "Maturity State Term Source ID"),
+            ("time_post_fertilisation", "Time Post Fertilisation"),
+            ("time_post_fertilisation_unit", "Time Post Fertilisation Unit"),
+            ("post_hatching_animal_density", "Post-hatching Animal Density"),
+            ("post_hatching_animal_density_unit", "Post-hatching Animal Density Unit"),
+            ("food_restriction", "Food Restriction"),
+            ("food_restriction_unit", "Food Restriction Unit"),
+            ("post_hatching_water_temperature_average", "Post-hatching Water Temperature Average"),
+            ("post_hatching_water_temperature_average_unit", "Post-hatching Water Temperature Average Unit"),
+            ("average_water_salinity", "Average Water Salinity"),
+            ("average_water_salinity_unit", "Average Water Salinity Unit"),
+            ("photoperiod", "Photoperiod"),
+            ("sampling_weight", "Sampling Weight"),
+            ("sampling_weight_unit", "Sampling Weight Unit"),
+            ("method_of_euthanasia", "Method Of Euthanasia"),
+            ("generations_from_wild", "Generations From Wild"),
+            ("generations_from_wild_unit", "Generations From Wild Unit"),
+            ("diet", "Diet"),
+            ("experimental_strain_id", "Experimental Strain Id"),
+            ("genetic_background", "Genetic Background"),
+            ("water_rearing_system", "Water Rearing System"),
+            ("standard_length", "Standard Length"),
+            ("standard_length_unit", "Standard Length Unit"),
+            ("total_length", "Total Length"),
+            ("total_length_unit", "Total Length Unit"),
+            ("fork_length", "Fork Length"),
+            ("fork_length_unit", "Fork Length Unit"),
+            ("average_water_oxygen", "Average Water Oxygen"),
+            ("average_water_oxygen_unit", "Average Water Oxygen Unit"),
+            ("sampling_day_start_time", "Sampling Day Start Time"),
+            ("sampling_day_end_time", "Sampling Day End Time"),
+            ("anaesthetic_or_sedative_name", "Anaesthetic Or Sedative Name"),
+        )},
+    },
+}
+_EXPORT_HS = {"organism", "specimen_from_organism", "teleostei_embryo",
+              "teleostei_post_hatching"}
+_EXPORT_ARRAYS = {
+    "organism": {"child_of": "Child Of"},
+    "organoid": {"derived_from": "Derived From"},
+    "specimen_from_organism": {"derived_from": "Derived From",
+                               "specimen_picture_url": "Specimen Picture URL"},
+    "teleostei_embryo": {"derived_from": "Derived From"},
+    "teleostei_post_hatching": {"derived_from": "Derived From"},
+}
+
+
+def _export_input(spark, rows, aliases, with_hs, arrays):
+    cols = sorted(aliases)
+    data = []
+    for r in rows:
+        vals = [
+            None if (x := r.get(aliases[c])) is None or str(x).strip() == "" else str(x)
+            for c in cols
+        ]
+        if with_hs:
+            hs = r.get("Health Status")
+            vals.append([(e["text"], e["term"]) for e in hs] if hs else None)
+        for c in sorted(arrays):
+            vals.append(_scalar_or_list(r.get(arrays[c])))
+        data.append(tuple(vals))
+    schema = ", ".join(f"{c} string" for c in cols)
+    if with_hs:
+        schema += ", health_status array<struct<text:string,term:string>>"
+    for c in sorted(arrays):
+        schema += f", {c} array<string>"
+    return spark.createDataFrame(data, schema)
+
+
+@pytest.mark.parametrize("rtype", sorted(EXPORT_ALIASES))
+def test_biosample_export_parity_all_types(spark, ref_data, rtype):
+    """Byte-level S7 parity for EVERY exported record type: the golden's
+    biosample_exports payloads (validation_results.json, produced by the
+    per-type export_to_biosample_format methods) must equal this engine's
+    declarative export-spec projection (plans/exports.py) key-for-key —
+    OBO PURL expansion, str(float) rendering ('2.0'), unit carriage and
+    `or ""` defaults, conditional key omission via NULL-struct-drop in
+    to_json, 'derived from'[0] vs all-'child of' relationship shapes."""
+    from faang_pydantics_validation_spark.plans.exports import (
+        EXPORT_SPECS,
+        biosample_export,
+    )
+
+    want = {
+        e["sample_name"]: e["biosample_format"]
+        for e in json.load(open(GOLDEN))["biosample_exports"][rtype]
+    }
+    rows = [r for r in ref_data[rtype] if r["Sample Name"] in want]
+    assert rows, rtype
+    df = _export_input(
+        spark, rows, EXPORT_ALIASES[rtype], rtype in _EXPORT_HS,
+        _EXPORT_ARRAYS[rtype],
+    )
+    got = {
+        r["sample_name"]: json.loads(r["js"])
+        for r in biosample_export(df, EXPORT_SPECS[rtype])
+        .select("sample_name", F.to_json("biosample_format").alias("js"))
+        .collect()
+    }
+    assert got == want, {
+        k: (got.get(k), want.get(k)) for k in (set(got) ^ set(want)) or got
+    }
+
+
 def test_total_summary_parity(spark, golden):
     assert golden["total_summary"] == {
         "total_samples": 10, "valid_samples": 7, "invalid_samples": 3,
