@@ -102,3 +102,14 @@ def test_all_shipped_rulesets_compile_and_run(name, spark):
     v = compile_row_rules(df, rules, key_cols=("conv_id", "turn_idx"), partition_col=None)
     rows = v.collect()  # must evaluate without analysis/runtime errors
     assert all(r["rule_id"] for r in rows)
+    # P2 invariant across EVERY kind and every shipped document: an
+    # all-NULL row may fire only presence-class rules (required /
+    # conditional_required / the recommended-missing expr warnings) —
+    # value rules (enum/numeric/regex/url/date/term/pair/array...) must
+    # treat absent values as pass, exactly like the reference's
+    # strip-empties-before-validators order
+    presence = {
+        r.rule_id for r in rules if r.kind in ("required", "conditional_required", "expr")
+    }
+    blank_fired = {r["rule_id"] for r in rows if r["conv_id"] == "r1"}
+    assert blank_fired <= presence, (name, blank_fired - presence)
