@@ -527,10 +527,14 @@ def q_minhash_jaccard_verified(spark, sf_dir):
     a miss at the 0.5 threshold needs (1-j)^64 <= 2^-64) followed by exact
     Jaccard verification — so the output EQUALS the brute ngram-Jaccard
     pair set and gets a value-exact DuckDB oracle, unlike the banded
-    production config above (rows-only)."""
+    production config above (rows-only). max_bucket is DISABLED here: the
+    hot-bucket cap trades recall for bounded candidates, which would void
+    this configuration's exact-recall guarantee at scale factors with
+    >cap-sized bucket collisions (the internal exact-dup collapse stays
+    on — it is value-neutral)."""
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(
-        docs, num_hashes=64, bands=64, threshold=0.5, verify=True
+        docs, num_hashes=64, bands=64, threshold=0.5, verify=True, max_bucket=None
     )
 
 

@@ -51,9 +51,13 @@ def run_dedup_pipeline(
     skip_neardup: bool = False,
 ) -> dict:
     """Programmatic surface (the CLI is a thin wrapper): returns
-    {"kept": DataFrame, "stages": [...]} with per-stage counts. Stage
+    {"kept": DataFrame, "stages": [...], "cleanup": callable}. Stage
     counts are actions — metadata-sized prints for a batch job, not part
-    of any benchmarked plan."""
+    of any benchmarked plan. Call `cleanup()` AFTER consuming `kept`
+    (collect/write) to release the pipeline's persisted intermediates —
+    long-lived drivers running many corpora would otherwise accumulate
+    cached blocks (the CLI consumes-then-cleans; a one-shot job can skip
+    it and let session stop release everything)."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -74,9 +78,11 @@ def run_dedup_pipeline(
     n1 = survivors.count()
     stages.append({"stage": "exact_dedup", "in": n0, "kept": n1})
 
-    # 2. near-dup over survivors only (exact-first is now enforced here,
-    # and minhash_lsh_pairs additionally self-protects via its internal
-    # collapse + max_bucket cap)
+    # 2. near-dup over survivors only. collapse_exact=False: stage 1
+    # already collapsed by the SAME md5(normalized_text) digest, so every
+    # internal collapse group over `survivors` would be a singleton — the
+    # extra digest shuffle/persist would be pure overhead. The max_bucket
+    # hot-bucket cap stays on (near-identical floods survive exact dedup).
     n2 = n1
     if not skip_neardup:
         pairs = DD.minhash_lsh_pairs(
@@ -86,6 +92,7 @@ def run_dedup_pipeline(
             num_hashes=num_hashes,
             bands=bands,
             threshold=threshold,
+            collapse_exact=False,
         )
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = survivors.join(drop, on=id_col, how="left_anti")
@@ -107,7 +114,12 @@ def run_dedup_pipeline(
     kept = survivors.join(keep.select(id_col), on=id_col, how="leftsemi")
     n3 = kept.count()
     stages.append({"stage": "quality_langid_filter", "in": n2, "kept": n3})
-    return {"kept": kept, "stages": stages}
+
+    def cleanup() -> None:
+        survivors.unpersist()
+        spark.catalog.clearCache()  # operator-internal caches (shingles, banded)
+
+    return {"kept": kept, "stages": stages, "cleanup": cleanup}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -159,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         res["kept"].write.mode("overwrite").parquet(f"{args.out}/kept")
         with open(f"{args.out}/report.json", "w") as f:
             json.dump(report, f, indent=1)
+    res["cleanup"]()
     if args.report:
         for s in res["stages"]:
             print(f"{s['stage']:<24} in={s['in']:<10} kept={s['kept']}", file=sys.stderr)

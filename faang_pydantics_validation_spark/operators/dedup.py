@@ -17,6 +17,17 @@ Scale design (the point of each algorithm at 100 TB):
 
 All hashing is xxhash64/crc32 (Spark-native, JVM-side).
 
+Cache lifetime: the operators persist slim reused intermediates
+(shingle/token tables, banded signatures, the collapse member map) with
+MEMORY_AND_DISK and do NOT unpersist them — the returned DataFrames are
+lazy and still reference those caches. Spark's cache manager dedupes
+repeated calls by canonicalized plan, so re-running the same operator on
+the same input reuses (not duplicates) the cache; but a LONG-LIVED driver
+running dedup over many DIFFERENT corpora should call
+`spark.catalog.clearCache()` between corpus jobs (or use
+`jobs/dedup_cli.run_dedup_pipeline`'s `cleanup()` handle) to release
+storage.
+
 Pipeline order at corpus scale: running `exact_duplicates` FIRST and
 feeding only the `keep_id` survivors to the near-dup passes is still the
 cheap 10-100x win (web corpora are dominated by byte-identical copies),

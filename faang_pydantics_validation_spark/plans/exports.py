@@ -105,7 +105,13 @@ def _field_entry(f: ExportField) -> Column:
     if f.const_text is not None:
         text = F.lit(f.const_text)
     elif f.numeric:
-        text = F.col(f.text).cast("double").cast("string")
+        # the reference renders str(model.field) where the field is
+        # Union[float, Literal['restricted access']]: floats get the
+        # '2.0'-style repr, the sentinel passes through VERBATIM. try_cast
+        # (never ANSI-throwing cast) + fallback to the raw string
+        # reproduces both branches.
+        raw = F.col(f.text).cast("string")
+        text = F.coalesce(raw.try_cast("double").cast("string"), raw)
     else:
         text = F.col(f.text).cast("string")
 
@@ -123,7 +129,9 @@ def _field_entry(f: ExportField) -> Column:
     if f.unit is not None:
         u = F.col(f.unit).cast("string")
         if f.unit_default is not None:
-            u = F.coalesce(u, F.lit(f.unit_default))
+            # the reference's `model.unit or "default"`: blank strings fall
+            # through to the default too, not just None
+            u = F.when(u.isNull() | (F.trim(u) == ""), F.lit(f.unit_default)).otherwise(u)
         parts.append(u.alias("unit"))
     entry = F.array(F.struct(*parts))
 
@@ -133,6 +141,11 @@ def _field_entry(f: ExportField) -> Column:
     present = raw.isNotNull() & (F.trim(raw) != "")
     if f.when == "not_restricted":
         present = present & (raw != "restricted access")
+    if f.when == "truthy" and f.numeric:
+        # the reference guards numerics with `if model.field:` — 0.0 is
+        # falsy and the key is OMITTED (while 'restricted access' stays
+        # truthy; eqNullSafe keeps non-numeric strings present)
+        present = present & ~raw.try_cast("double").eqNullSafe(F.lit(0.0))
     # 'notnull' == present: blank-to-None stripping upstream makes the
     # reference's `is not None` equivalent to non-blank here
     return F.when(present, entry)

@@ -224,8 +224,11 @@ def _pair_required(cols, params):
 def _conditional_required(cols, params):
     """X3: required-unless (organoid_ruleset.py:209-217: freezing date +
     protocol required unless method == 'fresh').
-    columns=(cond_col, *required_cols); params: unless_values: list."""
-    cond_c = F.col(cols[0])
+    columns=(cond_col, *required_cols); params: unless_values: list.
+    A NULL or blank condition value means the requirement does not apply —
+    the reference's `if freezing_method_value and ...` treats both None
+    and '' as falsy (organoid_ruleset.py:212)."""
+    cond_c = norm_blank_to_null(F.col(cols[0]).cast("string"))
     unless = params.get("unless_values", [])
     applies = cond_c.isNotNull() & ~cond_c.isin(unless)
     missing = F.lit(False)

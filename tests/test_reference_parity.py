@@ -573,6 +573,72 @@ def test_biosample_export_parity_all_types(spark, ref_data, rtype):
     }
 
 
+def test_export_spec_edge_semantics(spark):
+    """Reference-faithful export edges the golden data cannot exercise:
+    numeric fields render 'restricted access' VERBATIM (the models type
+    them Union[float, Literal['restricted access']] and export str(v));
+    zero-valued `if model.field:`-guarded numerics are OMITTED (Python
+    falsy); blank unit strings fall through to the `or`-default."""
+    from faang_pydantics_validation_spark.plans.exports import (
+        ORGANOID_EXPORT,
+        SPECIMEN_EXPORT,
+        biosample_export,
+    )
+
+    org = spark.createDataFrame(
+        [("s1", "Caecum", "UBERON:1", None, None, "fresh", None, None,
+          "restricted access", "passages", "matrigel", "2D", None, "5", "",
+          ["D1"])],
+        "sample_name string, organ_model string, organ_model_term string, "
+        "organ_part_model string, organ_part_model_term string, "
+        "freezing_method string, freezing_date string, freezing_date_unit string, "
+        "organoid_passage string, organoid_passage_unit string, "
+        "growth_environment string, type_of_organoid_culture string, "
+        "organoid_morphology string, number_of_frozen_cells string, "
+        "number_of_frozen_cells_unit string, derived_from array<string>",
+    )
+    got = json.loads(
+        biosample_export(org, ORGANOID_EXPORT)
+        .select(F.to_json("biosample_format").alias("js")).first()["js"]
+    )["characteristics"]
+    assert got["organoid passage"] == [
+        {"text": "restricted access", "unit": "passages"}
+    ]
+    # blank unit -> `or "organoids"` default; numeric str(float) render
+    assert got["number of frozen cells"] == [{"text": "5.0", "unit": "organoids"}]
+
+    spec = spark.createDataFrame(
+        [("s2", "specimen from organism", "OBI_0001479", "2020-01", "YYYY-MM",
+          "Denmark", "2", "month", "adult", "EFO_1", "liver", "UBERON_2",
+          "http://p", None, "0", "count", "3", "grams", None, None, None, None,
+          None, None, None, None, None, None, ["P1"], None, None, None, None)],
+        "sample_name string, material string, term string, "
+        "specimen_collection_date string, unit string, geographic_location string, "
+        "animal_age_at_collection string, animal_age_at_collection_unit string, "
+        "developmental_stage string, developmental_stage_term string, "
+        "organism_part string, organism_part_term string, "
+        "specimen_collection_protocol string, fasted_status string, "
+        "specimen_volume string, specimen_volume_unit string, "
+        "specimen_weight string, specimen_weight_unit string, "
+        "number_of_pieces string, number_of_pieces_unit string, "
+        "specimen_size string, specimen_size_unit string, "
+        "gestational_age_at_sample_collection string, "
+        "gestational_age_at_sample_collection_unit string, "
+        "average_incubation_temperature string, "
+        "average_incubation_temperature_unit string, "
+        "average_incubation_humidity string, average_incubation_humidity_unit string, "
+        "derived_from array<string>, embryonic_stage string, embryonic_stage_unit string, "
+        "health_status array<struct<text:string,term:string>>, "
+        "specimen_picture_url array<string>",
+    )
+    got2 = json.loads(
+        biosample_export(spec, SPECIMEN_EXPORT)
+        .select(F.to_json("biosample_format").alias("js")).first()["js"]
+    )["characteristics"]
+    assert "specimen volume" not in got2  # 0 is falsy -> key omitted
+    assert got2["specimen weight"] == [{"text": "3.0", "unit": "grams"}]
+
+
 def test_total_summary_parity(spark, golden):
     assert golden["total_summary"] == {
         "total_samples": 10, "valid_samples": 7, "invalid_samples": 3,

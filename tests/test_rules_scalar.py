@@ -285,6 +285,23 @@ def test_conditional_required(spark):
     assert got == {("c", 1, "r", "error", "frozen")}
 
 
+def test_conditional_required_blank_condition_not_applies(spark):
+    """A NULL or blank condition value means the requirement does not
+    apply — the reference's `if freezing_method_value and ...` treats both
+    None and '' as falsy (organoid_ruleset.py:212)."""
+    rules = [
+        RuleSpec("r", "conditional_required", ("a", "b"), params={"unless_values": ["fresh"]})
+    ]
+    got = run(
+        spark,
+        [("c", 0, "", None), ("c", 1, "  ", None), ("c", 2, None, None),
+         ("c", 3, "frozen", None)],
+        S3,
+        rules,
+    )
+    assert got == {("c", 3, "r", "error", "frozen")}
+
+
 def test_array_size(spark):
     # A2/A3/A4 (organism_ruleset.py:249-260 etc.)
     schema = "conv_id string, turn_idx int, v array<string>"
