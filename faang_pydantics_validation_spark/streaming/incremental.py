@@ -130,6 +130,21 @@ def _ordering_rules_state_fn(allowed_transitions: set[str], valid_roles: set[str
                 ts_us = int(pd.Timestamp(r.ts).value // 1000)
                 role = r.role
                 if last_idx is not None:
+                    if idx == last_idx:
+                        # J10 across micro-batches: the stream replays the
+                        # key the state already recorded — the same
+                        # one-tail duplicate semantic the checkpoint
+                        # boundary semi-join implements (a duplicate of an
+                        # OLDER turn is indistinguishable from a late
+                        # arrival with last-turn state and surfaces via
+                        # R_ts_monotonic instead, as in batch)
+                        out.append(
+                            dict(
+                                conv_id=conv_id, turn_idx=idx,
+                                rule_id="R_turn_unique", severity="error",
+                                scope="turn", observed="2",
+                            )
+                        )
                     if idx > last_idx + 1:
                         out.append(
                             dict(

@@ -9,7 +9,10 @@ from faang_pydantics_validation_spark.datagen import (
     ROLES,
     write_dataset,
 )
-from faang_pydantics_validation_spark.operators.joins import window_rules
+from faang_pydantics_validation_spark.operators.joins import (
+    uniqueness_rule,
+    window_rules,
+)
 from faang_pydantics_validation_spark.plans.rulesets import transcript_scalar_rules
 from faang_pydantics_validation_spark.rules.compiler import compile_row_rules
 from faang_pydantics_validation_spark.streaming import incremental as S
@@ -41,6 +44,15 @@ def test_stream_scalar_equals_batch(spark, tmp_path):
 
 def test_stateful_ordering_equals_batch_window_rules(spark, tmp_path):
     data_dir = _setup(spark, tmp_path)
+    # plant one cross-file duplicate key (this seed generates none): the
+    # appended copy lands in its own parquet file, so with
+    # max_files_per_trigger=3 it typically arrives in a LATER micro-batch
+    # than the original — the cross-batch duplicate shape only the carried
+    # state can see
+    base = spark.read.parquet(f"{data_dir}/transcripts")
+    base.orderBy("conv_id", F.desc("turn_idx"), F.desc("ts")).limit(1).write.mode(
+        "append"
+    ).partitionBy("ds").parquet(f"{data_dir}/transcripts")
     stream = S.read_transcript_stream(spark, data_dir, max_files_per_trigger=3)
     out = str(tmp_path / "out_state")
     S.run_available_now(
@@ -51,10 +63,18 @@ def test_stateful_ordering_equals_batch_window_rules(spark, tmp_path):
     got = spark.read.parquet(out).select(*CMP)
     batch = spark.read.parquet(f"{data_dir}/transcripts")
     allowed = spark.createDataFrame(ALLOWED_TRANSITIONS, "prev_role string, role string")
-    want = window_rules(batch, ROLES, allowed, ds=False).select(*CMP)
+    # the stateful stream covers the window lag rules AND J10 duplicates
+    # (copies of a key are adjacent under the per-batch (turn_idx, ts)
+    # sort or hit the carried last-turn state across batches; the planted
+    # duplicates are 2-copy, so emission shape matches uniqueness_rule)
+    want = (
+        window_rules(batch, ROLES, allowed, ds=False).select(*CMP)
+        .unionByName(uniqueness_rule(batch, ds=False).select(*CMP))
+    )
     assert got.exceptAll(want).count() == 0, "stream emitted extra violations"
     assert want.exceptAll(got).count() == 0, "stream missed violations"
     assert want.count() > 0
+    assert want.where(F.col("rule_id") == "R_turn_unique").count() > 0
 
 
 def test_windowed_verdicts_stream(spark, tmp_path):
