@@ -72,3 +72,55 @@ def test_numeric_bounds_matches_python_model(spark, values):
             except ValueError:
                 expect = True
         assert (i in got) == expect, (i, repr(v))
+
+
+CELLISH = st.one_of(
+    st.none(),
+    st.just(""), st.just("   "),
+    st.just("restricted access"), st.just("not provided"),
+    st.sampled_from(["0", "2", "2.5", "-1", "1e3"]),
+    st.text(alphabet="ab :_-.0123456789", max_size=12),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(*[CELLISH] * 6), min_size=1, max_size=8))
+def test_export_never_crashes_on_adversarial_cells(spark, rows):
+    """Export projections must never throw on any cell content — blanks,
+    sentinels, non-numeric strings in numeric fields (the reference's
+    Union[float, Literal] shape), scientific notation — and must always
+    produce parseable JSON. Guards the ANSI-cast crash class: a plain
+    cast('double') on 'restricted access' would kill the executor."""
+    import json as _json
+
+    from faang_pydantics_validation_spark.plans.exports import (
+        ORGANOID_EXPORT,
+        biosample_export,
+    )
+
+    data = [
+        ("s%d" % i, a, b, c, d, e, f, None, None, None, None, None, None, None,
+         None, ["T"])
+        for i, (a, b, c, d, e, f) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "sample_name string, organ_model string, organ_model_term string, "
+        "organoid_passage string, organoid_passage_unit string, "
+        "number_of_frozen_cells string, number_of_frozen_cells_unit string, "
+        "organ_part_model string, organ_part_model_term string, "
+        "freezing_method string, freezing_date string, freezing_date_unit string, "
+        "growth_environment string, type_of_organoid_culture string, "
+        "organoid_morphology string, derived_from array<string>",
+    )
+    from pyspark.sql import functions as F
+
+    out = (
+        biosample_export(df, ORGANOID_EXPORT)
+        .select("sample_name", F.to_json("biosample_format").alias("js"))
+        .collect()
+    )
+    assert len(out) == len(data)
+    for r in out:
+        doc = _json.loads(r["js"])
+        assert "characteristics" in doc
