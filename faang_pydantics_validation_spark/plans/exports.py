@@ -67,6 +67,47 @@ class ExportSpec:
     rel_optional: bool  # True: omit key when empty (organism)
 
 
+def _py_float_repr(d: Column) -> Column:
+    """Render a double EXACTLY as Python's str(float(v)) — the reference
+    emits str(model.field) on Union[float, ...] fields, so byte-level
+    export parity needs Python's notation, not Java's:
+
+    - fixed-point for 1e-4 <= |v| < 1e16 (Python's repr range; Java/Spark
+      switches to scientific already at |v| >= 1e7 or < 1e-3 — cast of
+      5e7 is '5.0E7' where Python says '50000000.0'),
+    - scientific 'm e±XX' outside it (Python: lowercase 'e', signed,
+      >=2-digit exponent, integral mantissa without '.0' — '1e+16',
+      '1.5e-05'; Java: '1.0E16', '1.5E-5').
+
+    Fixed-point goes through decimal(38,20): Spark's double->decimal cast
+    uses the shortest-roundtrip decimal form (BigDecimal of
+    Double.toString), and within the range non-integral doubles need at
+    most 17 significant digits + 3 leading fraction zeros, so scale 20
+    never rounds. Trailing zeros are trimmed; integral values keep the
+    '.0'. NULL in, NULL out (the caller's coalesce falls back to the raw
+    string). Non-finite ('NaN'/'Infinity') and exact zero carry no 'E'
+    and fall through to the plain cast."""
+    absd = F.abs(d)
+    in_fixed = (absd >= 1e-4) & (absd < 1e16)
+    trimmed = F.regexp_replace(d.cast("decimal(38,20)").cast("string"), "0+$", "")
+    fixed = F.when(trimmed.endswith("."), F.concat(trimmed, F.lit("0"))).otherwise(trimmed)
+    sci = d.cast("string")
+    mantissa = F.regexp_replace(F.regexp_extract(sci, r"^([^E]+)E", 1), r"\.0$", "")
+    exp_sign = F.when(
+        F.regexp_extract(sci, r"E(-?)\d+$", 1) == "-", F.lit("-")
+    ).otherwise(F.lit("+"))
+    # lpad TRUNCATES beyond its length — pad 1-digit exponents by hand so
+    # 3-digit ones ('e+100') survive
+    exp_raw = F.regexp_extract(sci, r"E-?(\d+)$", 1)
+    exp_digits = F.when(
+        F.length(exp_raw) < 2, F.concat(F.lit("0"), exp_raw)
+    ).otherwise(exp_raw)
+    py_sci = F.concat(mantissa, F.lit("e"), exp_sign, exp_digits)
+    return F.when(d.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(in_fixed, fixed).when(sci.contains("E"), py_sci).otherwise(sci)
+    )
+
+
 def _obo_url(c: Column, sentinels: tuple) -> Column:
     t = F.trim(c.cast("string"))
     return F.when(
@@ -106,12 +147,13 @@ def _field_entry(f: ExportField) -> Column:
         text = F.lit(f.const_text)
     elif f.numeric:
         # the reference renders str(model.field) where the field is
-        # Union[float, Literal['restricted access']]: floats get the
-        # '2.0'-style repr, the sentinel passes through VERBATIM. try_cast
-        # (never ANSI-throwing cast) + fallback to the raw string
-        # reproduces both branches.
+        # Union[float, Literal['restricted access']]: floats get PYTHON's
+        # repr (fixed-point through 1e16 — _py_float_repr; a plain Spark
+        # cast diverges at |v| >= 1e7), the sentinel passes through
+        # VERBATIM. try_cast (never ANSI-throwing cast) + fallback to the
+        # raw string reproduces both branches.
         raw = F.col(f.text).cast("string")
-        text = F.coalesce(raw.try_cast("double").cast("string"), raw)
+        text = F.coalesce(_py_float_repr(raw.try_cast("double")), raw)
     else:
         text = F.col(f.text).cast("string")
 
@@ -158,10 +200,8 @@ def biosample_export(
     characteristics = F.struct(
         *[_field_entry(f).alias(f.key) for f in spec.fields]
     )
-    parents = F.filter(
-        F.coalesce(F.col(spec.rel_col), F.array().cast("array<string>")),
-        lambda x: x.isNotNull() & (F.trim(x) != ""),
-    )
+    rel_src = F.coalesce(F.col(spec.rel_col), F.array().cast("array<string>"))
+    parents = F.filter(rel_src, lambda x: x.isNotNull() & (F.trim(x) != ""))
     if not spec.rel_all:
         parents = F.slice(parents, 1, 1)
     rels = F.transform(
@@ -169,7 +209,11 @@ def biosample_export(
         lambda x: F.struct(F.lit(spec.rel_type).alias("type"), x.alias("target")),
     )
     if spec.rel_optional:
-        rels = F.when(F.size(parents) > 0, rels)
+        # organism_validator.py:86-93 gates the key on the UNFILTERED
+        # child_of being truthy: a non-empty list of all-blank elements
+        # still emits 'relationships': [] (key present, empty array);
+        # only a None/empty child_of omits the key.
+        rels = F.when(F.size(rel_src) > 0, rels)
     return df.select(
         F.col(name_col).alias("sample_name"),
         F.struct(

@@ -102,7 +102,7 @@ def stream_windowed_verdicts(
     )
 
 
-_STATE_SCHEMA = "last_turn_idx int, last_ts long, last_role string"
+_STATE_SCHEMA = "last_turn_idx int, last_ts long, last_role string, dup_count int"
 _OUT_SCHEMA = (
     "conv_id string, turn_idx int, rule_id string, severity string, "
     "scope string, observed string"
@@ -119,9 +119,9 @@ def _ordering_rules_state_fn(allowed_transitions: set[str], valid_roles: set[str
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.exists:
-            last_idx, last_ts, last_role = state.get
+            last_idx, last_ts, last_role, dup_count = state.get
         else:
-            last_idx, last_ts, last_role = None, None, None
+            last_idx, last_ts, last_role, dup_count = None, None, None, 0
         out: list[dict[str, Any]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["turn_idx", "ts"])
@@ -137,12 +137,20 @@ def _ordering_rules_state_fn(allowed_transitions: set[str], valid_roles: set[str
                         # boundary semi-join implements (a duplicate of an
                         # OLDER turn is indistinguishable from a late
                         # arrival with last-turn state and surfaces via
-                        # R_ts_monotonic instead, as in batch)
+                        # R_ts_monotonic instead, as in batch). observed
+                        # carries the RUNNING copy count from the carried
+                        # state: an n-copy key emits n-1 rows ('2'..'n'),
+                        # each superseding the last — append mode cannot
+                        # retract, so the refinement is monotone and the
+                        # FINAL row per key equals the batch
+                        # uniqueness_rule row (observed = total count).
+                        # Aggregating consumers take max(observed) per key.
+                        dup_count += 1
                         out.append(
                             dict(
                                 conv_id=conv_id, turn_idx=idx,
                                 rule_id="R_turn_unique", severity="error",
-                                scope="turn", observed="2",
+                                scope="turn", observed=str(dup_count),
                             )
                         )
                     if idx > last_idx + 1:
@@ -175,8 +183,10 @@ def _ordering_rules_state_fn(allowed_transitions: set[str], valid_roles: set[str
                                 scope="turn", observed=f"{last_role}->{role}",
                             )
                         )
+                if idx != last_idx:
+                    dup_count = 1  # first sighting of this key
                 last_idx, last_ts, last_role = idx, ts_us, role
-        state.update((last_idx, last_ts, last_role))
+        state.update((last_idx, last_ts, last_role, dup_count))
         yield pd.DataFrame(
             out,
             columns=[

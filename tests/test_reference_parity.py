@@ -639,6 +639,101 @@ def test_export_spec_edge_semantics(spark):
     assert got2["specimen weight"] == [{"text": "3.0", "unit": "grams"}]
 
 
+def test_numeric_export_matches_python_float_repr(spark):
+    """Byte-level export parity for numeric magnitudes the golden fixtures
+    never reach: Spark's cast(double as string) switches to scientific
+    notation at |v| >= 1e7 / < 1e-3 ('5.0E7', '1.0E-4') while the
+    reference renders str(float(v)) ('50000000.0', '0.0001') fixed-point
+    through [1e-4, 1e16). _py_float_repr must equal Python's str(float(v))
+    across both regimes, including Python's scientific shape ('1e+16',
+    '1.5e-05') outside the fixed range."""
+    from faang_pydantics_validation_spark.plans.exports import _py_float_repr
+
+    values = [
+        "50000000", "5e7", "10000000", "0.0001", "1e-3", "0.001", "123.456",
+        "2.5", "-3", "0", "-0.5", "0.1", "1e15", "9999999999999998",
+        "123456789.12345679", "7", "1000000", "3.14159",
+        # outside Python's fixed range -> 'me±XX' scientific
+        "1e16", "1.5e16", "0.00001", "-2.5e-7", "1e100", "-1e-20",
+        "1.7976931348623157e308", "6.02e23",
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = {
+        r["v"]: r["r"]
+        for r in df.select(
+            "v", _py_float_repr(F.col("v").try_cast("double")).alias("r")
+        ).collect()
+    }
+    for v in values:
+        assert got[v] == str(float(v)), (v, got[v], str(float(v)))
+
+
+def test_numeric_export_parity_at_5e7(spark):
+    """The ADVICE repro: number_of_frozen_cells in the tens of millions
+    must export '50000000.0', not '5.0E7' (organoid_validator.py renders
+    str(float) on the Union[float, Literal] field)."""
+    from faang_pydantics_validation_spark.plans.exports import (
+        ORGANOID_EXPORT,
+        biosample_export,
+    )
+
+    org = spark.createDataFrame(
+        [("s1", "Caecum", "UBERON:1", None, None, "fresh", None, None,
+          "2", "passages", "matrigel", "2D", None, "50000000", "cells",
+          ["D1"])],
+        "sample_name string, organ_model string, organ_model_term string, "
+        "organ_part_model string, organ_part_model_term string, "
+        "freezing_method string, freezing_date string, freezing_date_unit string, "
+        "organoid_passage string, organoid_passage_unit string, "
+        "growth_environment string, type_of_organoid_culture string, "
+        "organoid_morphology string, number_of_frozen_cells string, "
+        "number_of_frozen_cells_unit string, derived_from array<string>",
+    )
+    got = json.loads(
+        biosample_export(org, ORGANOID_EXPORT)
+        .select(F.to_json("biosample_format").alias("js")).first()["js"]
+    )["characteristics"]
+    assert got["number of frozen cells"] == [{"text": "50000000.0", "unit": "cells"}]
+
+
+def test_organism_all_blank_child_of_keeps_relationships_key(spark):
+    """organism_validator.py:86-93 gates the relationships key on the
+    UNFILTERED child_of: a non-empty list of all-blank parents still emits
+    'relationships': [] (key present, empty array); only a None/empty
+    child_of omits the key."""
+    from faang_pydantics_validation_spark.plans.exports import (
+        ORGANISM_EXPORT,
+        biosample_export,
+    )
+
+    schema = (
+        "sample_name string, material string, term string, organism string, "
+        "organism_term string, sex string, sex_term string, birth_date string, "
+        "unit string, breed string, breed_term string, "
+        "health_status array<struct<text:string,term:string>>, "
+        "child_of array<string>"
+    )
+    rows = [
+        ("all_blank", *(None,) * 10, None, ["", "  "]),
+        ("none_rel", *(None,) * 10, None, None),
+        ("empty_rel", *(None,) * 10, None, []),
+        ("mixed_rel", *(None,) * 10, None, ["P1", ""]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["sample_name"]: json.loads(r["js"])
+        for r in biosample_export(df, ORGANISM_EXPORT)
+        .select("sample_name", F.to_json("biosample_format").alias("js"))
+        .collect()
+    }
+    assert got["all_blank"]["relationships"] == []
+    assert "relationships" not in got["none_rel"]
+    assert "relationships" not in got["empty_rel"]
+    assert got["mixed_rel"]["relationships"] == [
+        {"type": "child of", "target": "P1"}
+    ]
+
+
 def test_total_summary_parity(spark, golden):
     assert golden["total_summary"] == {
         "total_samples": 10, "valid_samples": 7, "invalid_samples": 3,

@@ -44,15 +44,18 @@ def test_stream_scalar_equals_batch(spark, tmp_path):
 
 def test_stateful_ordering_equals_batch_window_rules(spark, tmp_path):
     data_dir = _setup(spark, tmp_path)
-    # plant one cross-file duplicate key (this seed generates none): the
-    # appended copy lands in its own parquet file, so with
-    # max_files_per_trigger=3 it typically arrives in a LATER micro-batch
-    # than the original — the cross-batch duplicate shape only the carried
-    # state can see
+    # plant one cross-file THREE-copy duplicate key (this seed generates
+    # none): each appended copy lands in its own parquet file, so with
+    # max_files_per_trigger=3 the copies typically arrive in LATER
+    # micro-batches than the original — the cross-batch duplicate shape
+    # only the carried state can see, at n>2 copies so the running-count
+    # refinement ('2' then '3') is exercised, not just the 2-copy shape
     base = spark.read.parquet(f"{data_dir}/transcripts")
-    base.orderBy("conv_id", F.desc("turn_idx"), F.desc("ts")).limit(1).write.mode(
-        "append"
-    ).partitionBy("ds").parquet(f"{data_dir}/transcripts")
+    planted = base.orderBy("conv_id", F.desc("turn_idx"), F.desc("ts")).limit(1)
+    for _ in range(2):
+        planted.write.mode("append").partitionBy("ds").parquet(
+            f"{data_dir}/transcripts"
+        )
     stream = S.read_transcript_stream(spark, data_dir, max_files_per_trigger=3)
     out = str(tmp_path / "out_state")
     S.run_available_now(
@@ -60,16 +63,32 @@ def test_stateful_ordering_equals_batch_window_rules(spark, tmp_path):
         str(tmp_path / "ck2"),
         out,
     )
-    got = spark.read.parquet(out).select(*CMP)
+    raw = spark.read.parquet(out)
+    # R_turn_unique is a monotone refinement in append mode: an n-copy key
+    # emits n-1 rows with the running count ('2'..'n'); the max-observed
+    # row per key is the batch row. Everything else compares row-for-row.
+    uniq = (
+        raw.where(F.col("rule_id") == "R_turn_unique")
+        .groupBy("conv_id", "turn_idx", "rule_id", "severity", "scope")
+        .agg(F.max(F.col("observed").cast("int")).cast("string").alias("observed"))
+    )
+    got = (
+        raw.where(F.col("rule_id") != "R_turn_unique")
+        .select(*CMP)
+        .unionByName(uniq.select(*CMP))
+    )
     batch = spark.read.parquet(f"{data_dir}/transcripts")
     allowed = spark.createDataFrame(ALLOWED_TRANSITIONS, "prev_role string, role string")
     # the stateful stream covers the window lag rules AND J10 duplicates
     # (copies of a key are adjacent under the per-batch (turn_idx, ts)
-    # sort or hit the carried last-turn state across batches; the planted
-    # duplicates are 2-copy, so emission shape matches uniqueness_rule)
+    # sort or hit the carried last-turn state across batches)
     want = (
         window_rules(batch, ROLES, allowed, ds=False).select(*CMP)
         .unionByName(uniqueness_rule(batch, ds=False).select(*CMP))
+    )
+    # the 3-copy planted key must surface with the TRUE count
+    assert (
+        uniq.orderBy(F.col("observed").cast("int").desc()).first()["observed"] == "3"
     )
     assert got.exceptAll(want).count() == 0, "stream emitted extra violations"
     assert want.exceptAll(got).count() == 0, "stream missed violations"
