@@ -12,10 +12,12 @@ Stage order is ENFORCED BY THE TOOL (dedup.py's corpus-scale contract —
 previously a docstring convention, now code):
   1. exact dedup    — collapse normalization-identical documents to their
                       smallest-id survivor (one hash-agg on md5 digest)
-  2. near-dup       — MinHash+LSH verified pairs over the SURVIVORS only;
-                      greedy keep-lowest-id: the id_b side of every
-                      qualifying pair is dropped (id_a < id_b, so the
-                      smallest id of any near-dup chain always survives)
+  2. near-dup       — MinHash+LSH verified group-form edges over the
+                      SURVIVORS only; greedy keep-lowest-id: the member_id
+                      side of every (rep_id, member_id) edge is dropped
+                      (rep_id < member_id, so the smallest id of any
+                      near-dup chain always survives; linear output even
+                      on duplicate floods)
   3. quality filter — langid + quality features (pure Column exprs);
                       drop docs under --min-words / --min-alpha-ratio or
                       outside --langs
@@ -65,6 +67,7 @@ def run_dedup_pipeline(
     from faang_pydantics_validation_spark.operators import text as TX
 
     stages = []
+    cache_mark = DD.cache_mark()  # scope cleanup to THIS pipeline's caches
     n0 = docs.count()
 
     # 1. exact: keep each digest group's smallest id (the keep_id
@@ -81,11 +84,14 @@ def run_dedup_pipeline(
     # 2. near-dup over survivors only. collapse_exact=False: stage 1
     # already collapsed by the SAME md5(normalized_text) digest, so every
     # internal collapse group over `survivors` would be a singleton — the
-    # extra digest shuffle/persist would be pure overhead. The max_bucket
-    # hot-bucket cap stays on (near-identical floods survive exact dedup).
+    # extra digest shuffle/persist would be pure overhead. group_form=True:
+    # the drop set reads off the linear (rep_id, member_id) edges instead
+    # of exploded pairs, so a pathological near-dup flood that survives
+    # exact dedup cannot blow up the intermediate cardinality. The
+    # max_bucket hot-bucket cap stays on too.
     n2 = n1
     if not skip_neardup:
-        pairs = DD.minhash_lsh_pairs(
+        edges = DD.minhash_lsh_pairs(
             survivors,
             id_col=id_col,
             text_col=text_col,
@@ -93,8 +99,9 @@ def run_dedup_pipeline(
             bands=bands,
             threshold=threshold,
             collapse_exact=False,
+            group_form=True,
         )
-        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        drop = edges.select(F.col("member_id").alias(id_col)).distinct()
         survivors = survivors.join(drop, on=id_col, how="left_anti")
         n2 = survivors.count()
         stages.append({"stage": "near_dedup_minhash", "in": n1, "kept": n2})
@@ -116,8 +123,13 @@ def run_dedup_pipeline(
     stages.append({"stage": "quality_langid_filter", "in": n2, "kept": n3})
 
     def cleanup() -> None:
+        # release ONLY this pipeline's caches: the explicit survivors
+        # persist plus the operator-internal ones (shingles, banded
+        # signatures) registered since cache_mark — never the rest of the
+        # session (serve_http dims, test fixtures), which a blanket
+        # spark.catalog.clearCache() would silently evict.
         survivors.unpersist()
-        spark.catalog.clearCache()  # operator-internal caches (shingles, banded)
+        DD.release_caches(cache_mark)
 
     return {"kept": kept, "stages": stages, "cleanup": cleanup}
 

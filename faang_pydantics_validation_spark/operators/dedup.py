@@ -22,11 +22,13 @@ Cache lifetime: the operators persist slim reused intermediates
 MEMORY_AND_DISK and do NOT unpersist them — the returned DataFrames are
 lazy and still reference those caches. Spark's cache manager dedupes
 repeated calls by canonicalized plan, so re-running the same operator on
-the same input reuses (not duplicates) the cache; but a LONG-LIVED driver
-running dedup over many DIFFERENT corpora should call
-`spark.catalog.clearCache()` between corpus jobs (or use
-`jobs/dedup_cli.run_dedup_pipeline`'s `cleanup()` handle) to release
-storage.
+the same input reuses (not duplicates) the cache. Every internal persist
+is additionally recorded in a module registry: a LONG-LIVED driver running
+dedup over many DIFFERENT corpora should bracket each corpus job with
+`mark = cache_mark()` / `release_caches(mark)` (what
+`jobs/dedup_cli.run_dedup_pipeline`'s `cleanup()` handle does) — that
+unpersists exactly this job's intermediates without touching unrelated
+session caches the way a blanket `spark.catalog.clearCache()` would.
 
 Pipeline order at corpus scale: running `exact_duplicates` FIRST and
 feeding only the `keep_id` survivors to the near-dup passes is still the
@@ -51,6 +53,31 @@ from pyspark.sql import functions as F
 
 def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+# ---- operator-internal cache registry --------------------------------------
+# Every DataFrame persisted inside this module is appended here so callers
+# can release exactly the caches THEIR pipeline created (cache_mark before,
+# release_caches(mark) after) instead of nuking the whole session with
+# spark.catalog.clearCache().
+
+_CACHES: list[DataFrame] = []
+
+
+def cache_mark() -> int:
+    """Position in the internal cache registry — pass to release_caches to
+    scope the release to caches created after this point."""
+    return len(_CACHES)
+
+
+def release_caches(mark: int = 0) -> None:
+    """Unpersist every operator-internal cache registered at or after
+    `mark` (default: all of them) and drop them from the registry. Call
+    AFTER consuming the operator's output — the returned DataFrames
+    lazily reference these caches."""
+    for df in _CACHES[mark:]:
+        df.unpersist()
+    del _CACHES[mark:]
 
 
 def exact_duplicates(
@@ -90,9 +117,7 @@ def _shingle_table(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
     if persist:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persisted(sh)
     return sh
 
 
@@ -149,21 +174,40 @@ def ngram_jaccard_pairs(
 def _persisted(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHES.append(df)
+    return df
 
 
-def _text_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _text_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame | None:
     """(rep, id), persisted: rep = min(id) over normalization-identical
     documents, computed WITHOUT shuffling the text column — the md5 digest
     is evaluated map-side and only the slim (digest, id) pairs shuffle
     (one map-side-combined groupBy + one equi-join). Persisted because it
     feeds the representative semi-join AND the intra/inter pair
-    re-expansion joins."""
+    re-expansion joins.
+
+    Returns None when EVERY digest group is a singleton (a duplicate-free
+    corpus — the common case after an upstream exact-dedup stage, and true
+    of most curated corpora): the membership map would be the identity, so
+    the representative semi-join and pair re-expansion joins downstream
+    are pure overhead. The check is one metadata-sized aggregate over the
+    already-shuffled slim (digest, id) pairs (the groupBy below plus a
+    limit-1 probe of its >1-count rows); callers treat None exactly like
+    collapse_exact=False."""
     slim = df.select(
         F.col(id_col).alias("id"),
         F.md5(normalized_text(F.col(text_col))).alias("__dig"),
     )
-    groups = slim.groupBy("__dig").agg(F.min("id").alias("rep"))
+    groups = _persisted(
+        slim.groupBy("__dig").agg(
+            F.min("id").alias("rep"), F.count(F.lit(1)).alias("__n")
+        )
+    )
+    if groups.where(F.col("__n") > 1).isEmpty():
+        groups.unpersist()
+        _CACHES.remove(groups)
+        return None
     return _persisted(slim.join(groups, "__dig").select("rep", "id"))
 
 
@@ -195,6 +239,44 @@ def _expand_member_pairs(
             F.greatest("__ma", "__mb").alias("id_b"),
             *([score_col] if score_col else []),
         )
+    )
+    if score_col:
+        intra = intra.withColumn(score_col, F.lit(intra_score))
+    return intra.unionByName(inter)
+
+
+def _group_form_output(
+    rep_pairs: DataFrame,
+    members: DataFrame | None,
+    score_col: str | None,
+    intra_score,
+) -> DataFrame:
+    """(rep_id, member_id[, score]) — the LINEAR-cardinality alternative to
+    the exploded pair output, for dedup consumers that only need a drop
+    set: `member_id` is every document that duplicates a smaller-id
+    document, `rep_id` its surviving twin. Edges are
+
+    - intra: (group rep, member) for every non-rep member of an
+      exact-duplicate group — O(cluster) rows where the pair form fans a
+      10^6-copy cluster into ~5x10^11 pairs; scored at the
+      exact-duplicate value (jaccard 1.0 / hamming 0 / cosine 1.0);
+    - inter: qualifying representative near-dup pairs, verbatim (cluster
+      members need no fan-out: non-rep members are already dropped by
+      their intra edge, and the partner group's rep by this edge).
+
+    The DISTINCT member_id set equals the pair form's id_b set exactly
+    (greedy keep-lowest-id dedup reads the same survivors off either),
+    proven by test_group_form_drop_set_matches_pair_form. members=None
+    (collapse off or short-circuited on a duplicate-free corpus): the
+    rep-level pairs ARE the edges — pure rename."""
+    score = [score_col] if score_col else []
+    inter = rep_pairs.select(
+        F.col("id_a").alias("rep_id"), F.col("id_b").alias("member_id"), *score
+    )
+    if members is None:
+        return inter
+    intra = members.where(F.col("id") != F.col("rep")).select(
+        F.col("rep").alias("rep_id"), F.col("id").alias("member_id")
     )
     if score_col:
         intra = intra.withColumn(score_col, F.lit(intra_score))
@@ -255,11 +337,19 @@ def minhash_lsh_pairs(
     verify: bool = True,
     collapse_exact: bool = True,
     max_bucket: int | None = 1000,
+    group_form: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature, bucket-join on
     (band_idx, band_hash), optionally verify candidates with exact
     Jaccard (removes LSH false positives; false negatives are the usual
     LSH probabilistic tradeoff, tuned by bands/rows).
+
+    group_form=True returns (rep_id, member_id[, jaccard]) instead of
+    exploded pairs — LINEAR in duplicate-cluster size where the pair form
+    is quadratic (a 10^6-copy cluster emits 10^6-1 rows, not ~5x10^11),
+    with the identical distinct drop set (member_id == the pair form's
+    id_b set). The scale-safe choice for dedup consumers, which only ever
+    need the drop set; see _group_form_output.
 
     collapse_exact (default ON): normalization-identical documents are
     collapsed to one representative per text digest (_text_members — a
@@ -270,8 +360,12 @@ def minhash_lsh_pairs(
     representative jaccard. Identical text means identical signatures and
     identical shingle sets, so the output is value-identical to the
     uncollapsed run while duplicate clusters cost O(cluster) instead of
-    O(cluster^2) in the banded self-join. max_bucket then bounds the
-    residual hazard of NEAR-identical floods (see _bucket_cap).
+    O(cluster^2) in the banded self-join. On a duplicate-FREE corpus
+    _text_members short-circuits to None after one metadata-sized agg and
+    the collapse machinery (semi-join + re-expansion joins) is skipped
+    entirely — the plan degenerates to the plain banded path. max_bucket
+    then bounds the residual hazard of NEAR-identical floods (see
+    _bucket_cap).
 
     Output: (id_a, id_b[, jaccard]) distinct."""
     members = _text_members(df, id_col, text_col) if collapse_exact else None
@@ -337,9 +431,14 @@ def minhash_lsh_pairs(
         )
     else:
         out = cand
+    score_col = "jaccard" if verify else None
+    if group_form:
+        # intra edges score exactly 1.0 — they qualify iff threshold <= 1.0
+        gm = members if (not verify or float(threshold) <= 1.0) else None
+        return _group_form_output(out, gm, score_col, 1.0)
     if members is None:
         return out
-    expanded = _expand_member_pairs(out, members, "jaccard" if verify else None, 1.0)
+    expanded = _expand_member_pairs(out, members, score_col, 1.0)
     if verify:
         # intra pairs score exactly 1.0, so they qualify iff threshold <=
         # 1.0 (constant-folded; inter pairs are threshold-filtered above)
@@ -384,6 +483,7 @@ def simhash_near_pairs(
     n_bands: int = 4,
     collapse_exact: bool = True,
     max_bucket: int | None = 1000,
+    group_form: bool = False,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming, via band blocking: split
     the 64-bit hash into n_bands chunks; any pair within the Hamming ball
@@ -397,8 +497,14 @@ def simhash_near_pairs(
     fanned out at the representative hamming. Identical text means
     identical token streams and identical simhash, so the output is
     value-identical to the uncollapsed run while duplicate clusters cost
-    O(cluster) instead of O(cluster^2) in the chunk self-join. max_bucket
-    bounds the residual near-identical-flood hazard (see _bucket_cap)."""
+    O(cluster) instead of O(cluster^2) in the chunk self-join (and a
+    duplicate-free corpus short-circuits the collapse entirely —
+    _text_members returns None). max_bucket bounds the residual
+    near-identical-flood hazard (see _bucket_cap).
+
+    group_form=True returns (rep_id, member_id, hamming) — linear in
+    duplicate-cluster size with the identical distinct drop set; see
+    minhash_lsh_pairs/_group_form_output."""
     members = _text_members(df, id_col, text_col) if collapse_exact else None
     sigs = simhash(df, id_col, text_col)
     if members is not None:
@@ -441,9 +547,11 @@ def simhash_near_pairs(
     out = cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+    # intra pairs are hamming 0, which always satisfies max_hamming >= 0
+    if group_form:
+        return _group_form_output(out, members, "hamming", 0)
     if members is None:
         return out
-    # intra pairs are hamming 0, which always satisfies max_hamming >= 0
     return _expand_member_pairs(out, members, "hamming", 0)
 
 
@@ -482,6 +590,7 @@ def embedding_cosine_dups(
     n_planes: int = 12,
     seed: int = 42,
     dim: int | None = None,
+    group_form: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicates: collapse exact-duplicate vectors to one
     representative (exact_dup_canon), random-hyperplane LSH bucket the
@@ -498,7 +607,11 @@ def embedding_cosine_dups(
 
     Deterministic planes from a seeded RNG broadcast as literals. Pass
     `dim` (embedding width) to keep construction fully lazy; omitted, it
-    is sniffed with a one-row scan. Output (id_a, id_b, cosine 6dp)."""
+    is sniffed with a one-row scan. Output (id_a, id_b, cosine 6dp).
+
+    group_form=True returns (rep_id, member_id, cosine) — linear in
+    duplicate-cluster size with the identical distinct drop set; see
+    minhash_lsh_pairs/_group_form_output."""
     import numpy as np
 
     canon = exact_dup_canon(df, id_col, vec_col)
@@ -542,6 +655,17 @@ def embedding_cosine_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+    if group_form:
+        # intra edges score cosine exactly 1.0 — qualify iff threshold <= 1
+        gm = members if float(threshold) <= 1.0 else None
+        return _group_form_output(
+            rep_pairs.select(
+                F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"), "cosine"
+            ),
+            gm,
+            "cosine",
+            1.0,
+        )
     # intra-group: identical vectors — cosine is exactly 1.0 at 6dp
     # (dot(v,v)/(sqrt*sqrt) rounds to 1.0 within one ulp)
     intra = (

@@ -135,6 +135,102 @@ def test_signature_collapse_matches_uncollapsed(spark, docs):
         assert a == b, (fn.__name__, a, b)
 
 
+def test_group_form_mega_cluster_linear_cardinality(spark):
+    """A planted mega-cluster (300 identical docs) must emit O(cluster)
+    group-form rows — 299 (rep 0 -> each other member) — where the pair
+    form emits the inherently quadratic 300*299/2 = 44850 pairs. The
+    distinct member_id set is everything except the surviving rep."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(300)]
+    rows += [(300 + j, " ".join(f"u{j}x{k}" for k in range(12))) for j in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    g = DD.minhash_lsh_pairs(
+        df, num_hashes=16, bands=4, threshold=0.5, group_form=True
+    ).collect()
+    assert len(g) == 299
+    assert all(r["rep_id"] == 0 and r["jaccard"] == 1.0 for r in g)
+    assert {r["member_id"] for r in g} == set(range(1, 300))
+
+    gs = DD.simhash_near_pairs(df, max_hamming=3, group_form=True).collect()
+    assert len(gs) == 299
+    assert all(r["rep_id"] == 0 and r["hamming"] == 0 for r in gs)
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v0 = [float(x) for x in rng.standard_normal(8)]
+    vrows = [(i, v0) for i in range(300)]
+    vrows += [(300 + j, [float(x) for x in rng.standard_normal(8)]) for j in range(1, 5)]
+    vdf = spark.createDataFrame(vrows, "vec_id long, embedding array<double>")
+    ge = DD.embedding_cosine_dups(
+        vdf, threshold=0.99, dim=8, group_form=True
+    ).collect()
+    assert len(ge) == 299
+    assert all(r["rep_id"] == 0 and r["cosine"] == 1.0 for r in ge)
+
+
+def test_group_form_drop_set_matches_pair_form(spark, docs):
+    """Greedy keep-lowest-id dedup must read the same drop set off either
+    output shape: distinct member_id == distinct id_b, for every operator
+    and for collapse on/off."""
+    for fn, kw in (
+        (DD.minhash_lsh_pairs, dict(num_hashes=32, bands=8, threshold=0.3)),
+        (DD.simhash_near_pairs, dict(max_hamming=10)),
+    ):
+        for collapse in (True, False):
+            pair_drop = {
+                r["id_b"]
+                for r in fn(docs, collapse_exact=collapse, **kw).collect()
+            }
+            group_drop = {
+                r["member_id"]
+                for r in fn(
+                    docs, collapse_exact=collapse, group_form=True, **kw
+                ).collect()
+            }
+            assert group_drop == pair_drop, (fn.__name__, collapse)
+
+
+def test_collapse_short_circuits_on_dup_free_corpus(spark):
+    """A corpus with no normalization-identical documents must short-circuit
+    the collapse (_text_members -> None after one metadata-sized agg): the
+    collapse-on plan degenerates to the collapse-off plan, value-identical
+    output, no representative semi-join / re-expansion overhead."""
+    rows = [(i, " ".join(f"w{i}t{k}" for k in range(10))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert DD._text_members(df, "doc_id", "text") is None
+    for fn, kw, score in (
+        (DD.minhash_lsh_pairs, dict(num_hashes=16, bands=8, threshold=0.1), "jaccard"),
+        (DD.simhash_near_pairs, dict(max_hamming=20), "hamming"),
+    ):
+        a = {
+            (r["id_a"], r["id_b"]): r[score]
+            for r in fn(df, collapse_exact=True, **kw).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"]): r[score]
+            for r in fn(df, collapse_exact=False, **kw).collect()
+        }
+        assert a == b, fn.__name__
+
+
+def test_cache_registry_scoped_release(spark, docs):
+    """release_caches(mark) must unpersist exactly the operator-internal
+    caches created after mark — never unrelated session caches (the
+    clearCache() regression: a long-lived driver's dims would vanish)."""
+    unrelated = spark.createDataFrame([(1,)], "x int").persist()
+    unrelated.count()
+    mark = DD.cache_mark()
+    DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5).count()
+    created = len(DD._CACHES) - mark
+    assert created > 0, "operator should have registered its persists"
+    assert all(df.storageLevel.useMemory for df in DD._CACHES[mark:])
+    DD.release_caches(mark)
+    assert len(DD._CACHES) == mark
+    assert unrelated.storageLevel.useMemory, "unrelated cache was evicted"
+    unrelated.unpersist()
+
+
 def test_band_bucket_cap_prunes_hot_buckets(spark):
     """NEAR-identical flood (shared prefix + one unique token each — not
     exact dups, so the collapse can't absorb them): max_bucket=1 drops
