@@ -14,12 +14,16 @@ Endpoints (mirroring app.py):
                           -> validate_json_batch payload
                           (status success|error, verdicts, violations,
                           report, exports)
+    POST /validate-file   multipart/form-data upload of a JSON file
+                          (app.py:101-149) -> same payload + the uploaded
+                          filename echoed back; parsed with the stdlib
+                          email package (no python-multipart dependency)
     GET  /health          -> {"status": "ok"}
 
 A request with unknown fields returns the P17 structured-error payload
-with HTTP 422 (the FastAPI validation-error status); malformed JSON gets
-400; internal errors 500 with {"status": "error"} — app.py:92-98's
-except-Exception contract.
+with HTTP 422 (the FastAPI validation-error status); malformed JSON or
+multipart gets 400; internal errors 500 with {"status": "error"} —
+app.py:92-98's except-Exception contract.
 """
 
 from __future__ import annotations
@@ -51,16 +55,50 @@ def make_handler(spark, dims):
             else:
                 self._send(404, {"status": "error", "message": "not found"})
 
+        def _read_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        @staticmethod
+        def _parse_multipart_file(content_type: str, body: bytes):
+            """First file part of a multipart/form-data body via the stdlib
+            email parser (the reference's python-multipart equivalent,
+            app.py:101-105): returns (filename, payload bytes)."""
+            import email.parser
+            import email.policy
+
+            msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(
+                b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body
+            )
+            if not msg.is_multipart():
+                raise ValueError("body is not multipart/form-data")
+            for part in msg.iter_parts():
+                fname = part.get_filename()
+                if fname is not None:
+                    return fname, part.get_payload(decode=True)
+            raise ValueError("no file part in multipart body")
+
+        @staticmethod
+        def _records_of(doc):
+            records = doc["records"] if isinstance(doc, dict) else doc
+            if not isinstance(records, list):
+                raise ValueError("body must be a JSON array or {'records': [...]}")
+            return records
+
         def do_POST(self):  # noqa: N802
-            if self.path != "/validate":
+            if self.path not in ("/validate", "/validate-file"):
                 self._send(404, {"status": "error", "message": "not found"})
                 return
+            filename = None
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                doc = json.loads(self.rfile.read(n) or b"null")
-                records = doc["records"] if isinstance(doc, dict) else doc
-                if not isinstance(records, list):
-                    raise ValueError("body must be a JSON array or {'records': [...]}")
+                body = self._read_body()
+                if self.path == "/validate-file":
+                    filename, payload = self._parse_multipart_file(
+                        self.headers.get("Content-Type", ""), body
+                    )
+                    records = self._records_of(json.loads(payload or b"null"))
+                else:
+                    records = self._records_of(json.loads(body or b"null"))
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self._send(400, {"status": "error", "message": f"bad request: {e}"})
                 return
@@ -69,6 +107,8 @@ def make_handler(spark, dims):
             except Exception as e:  # app.py:92-98 except-Exception contract
                 self._send(500, {"status": "error", "message": str(e)})
                 return
+            if filename is not None:
+                out = {"filename": filename, **out}  # app.py:147 echo
             self._send(200 if out["status"] == "success" else 422, out)
 
         def log_message(self, fmt, *args):  # quiet by default

@@ -74,6 +74,76 @@ def test_dedup_cli_smoke(spark, corpus, tmp_path, monkeypatch):
     assert kept.count() == report["stages"][-1]["kept"] > 0
 
 
+def test_build_dims_job(spark, tmp_path):
+    """jobs/build_dims.py: an OLS-export-shaped dump compiles into
+    dim_tools + term_closure (canonical ':' term ids, transitive
+    is_a_path) and a registry dump into dim_conversations — then the
+    FUSED plan consumes the built dims directly: unknown tools and
+    unknown conversations fire J1/J6 off the parquet this job wrote."""
+    import datetime as dt
+
+    from faang_pydantics_validation_spark.jobs.build_dims import build_dims
+    from faang_pydantics_validation_spark.plans.fused import (
+        validate_transcripts_fused,
+    )
+
+    terms = [
+        # underscore form in the dump -> colon-canonical in the dim (P3)
+        {"term": "TOOL_0001", "label": "label_0001", "family": "search",
+         "parents": ["TOOL:0000"]},
+        {"term": "TOOL:0002", "label": "label_0002", "family": "code",
+         "parents": ["TOOL:0001"]},
+        {"term": "TOOL:0000", "label": "root", "family": "search"},
+    ]
+    convs = [
+        {"conv_id": "c_known", "expected_roles": ["user"], "species_tag": "s0"},
+        {"conv_id": "c_known", "expected_roles": ["user"], "species_tag": "s0"},
+    ]
+    tpath, cpath = str(tmp_path / "terms.json"), str(tmp_path / "convs.json")
+    with open(tpath, "w") as f:
+        json.dump(terms, f)
+    with open(cpath, "w") as f:
+        json.dump(convs, f)
+    out = str(tmp_path / "dims")
+    counts = build_dims(spark, out, terms_path=tpath, conversations_path=cpath)
+    assert counts == {"dim_tools": 3, "term_closure": 3, "dim_conversations": 1}
+
+    dim_tools = spark.read.parquet(f"{out}/dim_tools")
+    assert {r["tool_id"] for r in dim_tools.collect()} == {
+        "TOOL:0000", "TOOL:0001", "TOOL:0002"
+    }
+    closure = {
+        r["term"]: list(r["is_a_path"])
+        for r in spark.read.parquet(f"{out}/term_closure").collect()
+    }
+    # transitive: 0002 -> 0001 -> 0000
+    assert closure["TOOL:0002"] == ["TOOL:0000", "TOOL:0001", "TOOL:0002"]
+    assert closure["TOOL:0000"] == ["TOOL:0000"]
+
+    ts = dt.datetime(2026, 3, 1, 10, 0, 0)
+    ds = dt.date(2026, 3, 1)
+    facts = spark.createDataFrame(
+        [
+            ("c_known", 0, "user", "hi", "TOOL:0001", ts, ds),
+            ("c_unknown", 0, "user", "hi", "TOOL:9999", ts, ds),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, ds date",
+    )
+    dims = {
+        "dim_tools": dim_tools,
+        "dim_conversations": spark.read.parquet(f"{out}/dim_conversations"),
+    }
+    res = validate_transcripts_fused(facts, dims)
+    got = {
+        (r["conv_id"], r["rule_id"])
+        for r in res.violations.collect()
+    }
+    assert ("c_unknown", "R_tool_exists") in got
+    assert ("c_unknown", "R_conv_known") in got
+    assert not any(c == "c_known" for c, _ in got)
+
+
 @pytest.fixture(scope="module")
 def http_srv(spark):
     from http.server import HTTPServer
@@ -132,3 +202,64 @@ def test_http_validate_roundtrip(http_srv):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def _post_multipart(url, filename, payload: bytes, content_type=None):
+    boundary = "sparkGraftBoundary42"
+    head = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'
+        "Content-Type: application/json\r\n\r\n"
+    ).encode()
+    body = head + payload + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        url,
+        data=body,
+        headers={
+            "Content-Type": content_type
+            or f"multipart/form-data; boundary={boundary}"
+        },
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_validate_file_roundtrip(http_srv):
+    """POST /validate-file (E3, app.py:101-149): multipart JSON upload runs
+    the same pipeline as /validate and echoes the uploaded filename; the
+    422/400 contract matches the JSON endpoint."""
+    records = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hello",
+         "tool": None, "ts": "2026-03-01T10:00:00"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "", "text": "x",
+         "tool": None, "ts": "2026-03-01T10:00:05"},
+    ]
+    code, out = _post_multipart(
+        f"{http_srv}/validate-file", "batch.json",
+        json.dumps({"records": records}).encode(),
+    )
+    assert code == 200 and out["status"] == "success"
+    assert out["filename"] == "batch.json"
+    assert out["verdicts"][0]["verdict"] == "fail"
+    assert any(v["rule_id"] == "R_role_required" for v in out["violations"])
+
+    # P17 unknown field -> 422 structured error, filename still echoed
+    code, out = _post_multipart(
+        f"{http_srv}/validate-file", "bad.json",
+        json.dumps([{"conv_id": "c", "surprise": 1}]).encode(),
+    )
+    assert code == 422 and out["status"] == "error"
+    assert out["filename"] == "bad.json"
+    assert out["violations"][0]["rule_id"] == "R_unknown_column"
+
+    # malformed JSON inside the uploaded file -> 400
+    code, out = _post_multipart(f"{http_srv}/validate-file", "nope.json", b"{oops")
+    assert code == 400 and out["status"] == "error"
+
+    # non-multipart body -> 400
+    code, out = _post(f"{http_srv}/validate-file", {"records": []})
+    assert code == 400 and "multipart" in out["message"]
