@@ -557,6 +557,21 @@ def q_simhash_planted_dups(spark, sf_dir):
     return DD.simhash_near_pairs(docs.unionByName(dups), max_hamming=0, n_bands=4)
 
 
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN in its value-exact configuration: n_planes=0
+    puts every vector in the single global bucket, so each query scans the
+    whole corpus and the result EQUALS total-ordered brute-force top-k —
+    while still exercising the full LSH plumbing (bucketing expression,
+    probe explode, exact-dup collapse + member re-expansion, in-bucket
+    scoring, final rank). The approximate regime (n_planes > 0) is
+    recall-floor-tested against brute force in pytest
+    (test_lsh_and_ivf_recall_vs_bruteforce)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return SIM.cosine_topk_lsh(emb.where("vec_id < 8"), emb, k=4, n_planes=0)
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF in its value-exact configuration: nprobe == nlist means every
     query scans every centroid list — the full corpus — so the result
@@ -638,6 +653,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_jaccard_verified": q_minhash_jaccard_verified,
     "simhash_documents": q_simhash_documents,
     "simhash_planted_dups": q_simhash_planted_dups,
+    "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "approx_distinct_quantiles": q_approx_distinct_quantiles,
     "drift_pandas_udf": q_drift_pandas_udf,

@@ -509,6 +509,21 @@ ORACLES: dict[str, str] = {
         SELECT doc_id AS id_a, doc_id + 10000 AS id_b, cast(0 AS int) AS hamming
         FROM documents WHERE doc_id < 50
     """,
+    "ann_lsh": """
+        -- n_planes=0 makes LSH probe one global bucket = full scan, so
+        -- the result equals total-ordered brute-force top-k (see
+        -- q_ann_lsh); cosine recomputed exactly here
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 8),
+        s AS (
+          SELECT query_id, e.vec_id corpus_id,
+                 round(list_dot_product(qv, v)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) cosine
+          FROM q, e WHERE e.vec_id != query_id
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) rank FROM s)
+        SELECT query_id, corpus_id, cosine, cast(rank AS int) rank FROM r WHERE rank <= 4
+    """,
     "ann_ivf": """
         -- nprobe == nlist makes IVF scan the full corpus per query, so
         -- the result equals total-ordered brute-force top-k (see
