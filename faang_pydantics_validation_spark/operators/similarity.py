@@ -71,12 +71,14 @@ def cosine_topk_bruteforce(
 
 
 def _hyperplane_bucket(vec: Column, planes) -> Column:
-    sig = None
+    # zero planes = one global bucket (the exact-scan configuration:
+    # every query probes every corpus vector, result == brute force)
+    sig: Column = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         lit = F.array(*[F.lit(float(x)) for x in p])
         bit = F.when(_dot(vec, lit) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
+        sig = sig.bitwiseOR(term)
     return sig
 
 
