@@ -85,6 +85,8 @@ def test_all_shipped_rulesets_compile_and_run(name, spark):
     cols: dict[str, str] = {}
     for r in rules:
         for i, c in enumerate(r.columns):
+            if c in ("conv_id", "turn_idx"):
+                continue  # already in the key prefix of the schema
             if c in STRUCT_ARRAY_COLS:
                 cols[c] = "array<struct<text:string,term:string>>"
             elif i == 0 and r.kind in ARRAY_STRING_KINDS:
