@@ -139,6 +139,14 @@ KIND_TWINS = [
         "v",
     ),
     (
+        "regex_negate",
+        RuleSpec(
+            "r", "regex", ("v",), params={"pattern": "[0-9]", "negate": True}
+        ),
+        f"{NV} IS NOT NULL AND regexp_matches({NV}, '[0-9]')",
+        "v",
+    ),
+    (
         "url",
         RuleSpec("r", "url", ("v",), params={"schemes": ["http", "https"]}),
         f"{NV} IS NOT NULL AND NOT regexp_matches({NV}, '^(http|https)://')",
