@@ -179,7 +179,9 @@ def _persisted(df: DataFrame) -> DataFrame:
     return df
 
 
-def _text_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame | None:
+def _text_members(
+    df: DataFrame, id_col: str, text_col: str, min_quadratic: int = 0
+) -> DataFrame | None:
     """(rep, id), persisted: rep = min(id) over normalization-identical
     documents, computed WITHOUT shuffling the text column — the md5 digest
     is evaluated map-side and only the slim (digest, id) pairs shuffle
@@ -187,14 +189,19 @@ def _text_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame | None
     feeds the representative semi-join AND the intra/inter pair
     re-expansion joins.
 
-    Returns None when EVERY digest group is a singleton (a duplicate-free
-    corpus — the common case after an upstream exact-dedup stage, and true
-    of most curated corpora): the membership map would be the identity, so
-    the representative semi-join and pair re-expansion joins downstream
-    are pure overhead. The check is one metadata-sized aggregate over the
-    already-shuffled slim (digest, id) pairs (the groupBy below plus a
-    limit-1 probe of its >1-count rows); callers treat None exactly like
-    collapse_exact=False."""
+    ADAPTIVE SHORT-CIRCUIT: returns None when the corpus's exact-duplicate
+    PAIR MASS — q = sum over digest groups of n*(n-1), the number of
+    intra-duplicate ordered pairs the banded self-join would otherwise
+    see — is <= min_quadratic. The collapse exists purely to bound that
+    quadratic hazard; when q is negligible (a duplicate-free or
+    nearly-duplicate-free corpus, the common case after an upstream exact
+    stage), the banded join absorbs the few duplicate copies more cheaply
+    than the collapse machinery (representative semi-join + two
+    re-expansion joins) costs. The decision is ONE metadata-sized
+    aggregate over the already-shuffled slim (digest, id) pairs; callers
+    treat None exactly like collapse_exact=False (output is
+    value-identical either way — the collapse is a plan optimization).
+    min_quadratic=0 engages the collapse whenever ANY duplicate exists."""
     slim = df.select(
         F.col(id_col).alias("id"),
         F.md5(normalized_text(F.col(text_col))).alias("__dig"),
@@ -204,7 +211,13 @@ def _text_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame | None
             F.min("id").alias("rep"), F.count(F.lit(1)).alias("__n")
         )
     )
-    if groups.where(F.col("__n") > 1).isEmpty():
+    n = F.col("__n")
+    q = (
+        groups.where(n > 1)
+        .agg(F.sum(n * (n - 1)).alias("q"))
+        .first()["q"]
+    ) or 0
+    if q <= min_quadratic:
         groups.unpersist()
         _CACHES.remove(groups)
         return None
@@ -338,6 +351,7 @@ def minhash_lsh_pairs(
     collapse_exact: bool = True,
     max_bucket: int | None = 1000,
     group_form: bool = False,
+    collapse_min_pairs: int = 10000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature, bucket-join on
     (band_idx, band_hash), optionally verify candidates with exact
@@ -360,15 +374,23 @@ def minhash_lsh_pairs(
     representative jaccard. Identical text means identical signatures and
     identical shingle sets, so the output is value-identical to the
     uncollapsed run while duplicate clusters cost O(cluster) instead of
-    O(cluster^2) in the banded self-join. On a duplicate-FREE corpus
-    _text_members short-circuits to None after one metadata-sized agg and
-    the collapse machinery (semi-join + re-expansion joins) is skipped
-    entirely — the plan degenerates to the plain banded path. max_bucket
+    O(cluster^2) in the banded self-join. The collapse is ADAPTIVE
+    (collapse_min_pairs): it engages only when the corpus's exact-
+    duplicate pair mass q = sum n*(n-1) over digest groups exceeds the
+    threshold — below it (duplicate-free or nearly so, e.g. after an
+    upstream exact stage) _text_members short-circuits after one
+    metadata-sized agg and the plan degenerates to the plain banded path,
+    whose few duplicate candidate pairs cost less than the collapse
+    machinery would. 0 forces the collapse on any duplicate. max_bucket
     then bounds the residual hazard of NEAR-identical floods (see
     _bucket_cap).
 
     Output: (id_a, id_b[, jaccard]) distinct."""
-    members = _text_members(df, id_col, text_col) if collapse_exact else None
+    members = (
+        _text_members(df, id_col, text_col, min_quadratic=collapse_min_pairs)
+        if collapse_exact
+        else None
+    )
     rows_per_band = num_hashes // bands
     # signatures are computed for ALL documents (duplicate copies combine
     # map-side in the shingle groupBy — linear work, and the fat text
@@ -484,6 +506,7 @@ def simhash_near_pairs(
     collapse_exact: bool = True,
     max_bucket: int | None = 1000,
     group_form: bool = False,
+    collapse_min_pairs: int = 10000,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming, via band blocking: split
     the 64-bit hash into n_bands chunks; any pair within the Hamming ball
@@ -497,15 +520,20 @@ def simhash_near_pairs(
     fanned out at the representative hamming. Identical text means
     identical token streams and identical simhash, so the output is
     value-identical to the uncollapsed run while duplicate clusters cost
-    O(cluster) instead of O(cluster^2) in the chunk self-join (and a
-    duplicate-free corpus short-circuits the collapse entirely —
-    _text_members returns None). max_bucket bounds the residual
+    O(cluster) instead of O(cluster^2) in the chunk self-join (adaptive:
+    a corpus whose duplicate pair mass is <= collapse_min_pairs
+    short-circuits the collapse entirely — _text_members returns None;
+    see minhash_lsh_pairs). max_bucket bounds the residual
     near-identical-flood hazard (see _bucket_cap).
 
     group_form=True returns (rep_id, member_id, hamming) — linear in
     duplicate-cluster size with the identical distinct drop set; see
     minhash_lsh_pairs/_group_form_output."""
-    members = _text_members(df, id_col, text_col) if collapse_exact else None
+    members = (
+        _text_members(df, id_col, text_col, min_quadratic=collapse_min_pairs)
+        if collapse_exact
+        else None
+    )
     sigs = simhash(df, id_col, text_col)
     if members is not None:
         sigs = sigs.join(

@@ -119,10 +119,14 @@ def test_signature_collapse_matches_uncollapsed(spark, docs):
     """collapse_exact=True must be value-identical to collapse_exact=False
     on a mixed corpus with exact dups (1,2,3) and a near dup (4): identical
     normalized text means identical signatures and shingle/token sets, so
-    the collapse is a pure plan optimization."""
+    the collapse is a pure plan optimization. collapse_min_pairs=0 forces
+    the collapse on this small fixture (the adaptive default would
+    short-circuit it — its duplicate pair mass is tiny)."""
     for fn, kw, score in (
-        (DD.minhash_lsh_pairs, dict(num_hashes=32, bands=8, threshold=0.3), "jaccard"),
-        (DD.simhash_near_pairs, dict(max_hamming=10), "hamming"),
+        (DD.minhash_lsh_pairs,
+         dict(num_hashes=32, bands=8, threshold=0.3, collapse_min_pairs=0), "jaccard"),
+        (DD.simhash_near_pairs,
+         dict(max_hamming=10, collapse_min_pairs=0), "hamming"),
     ):
         a = {
             (r["id_a"], r["id_b"]): r[score]
@@ -174,8 +178,9 @@ def test_group_form_drop_set_matches_pair_form(spark, docs):
     output shape: distinct member_id == distinct id_b, for every operator
     and for collapse on/off."""
     for fn, kw in (
-        (DD.minhash_lsh_pairs, dict(num_hashes=32, bands=8, threshold=0.3)),
-        (DD.simhash_near_pairs, dict(max_hamming=10)),
+        (DD.minhash_lsh_pairs,
+         dict(num_hashes=32, bands=8, threshold=0.3, collapse_min_pairs=0)),
+        (DD.simhash_near_pairs, dict(max_hamming=10, collapse_min_pairs=0)),
     ):
         for collapse in (True, False):
             pair_drop = {
@@ -199,6 +204,18 @@ def test_collapse_short_circuits_on_dup_free_corpus(spark):
     rows = [(i, " ".join(f"w{i}t{k}" for k in range(10))) for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert DD._text_members(df, "doc_id", "text") is None
+    # adaptive threshold: a handful of 2-copy groups (pair mass q = 4) is
+    # below the production default -> short-circuit; forcing with
+    # min_quadratic=0 still builds the map
+    few = df.unionByName(
+        spark.createDataFrame(
+            [(100 + i, " ".join(f"w{i}t{k}" for k in range(10))) for i in range(2)],
+            "doc_id long, text string",
+        )
+    )
+    assert DD._text_members(few, "doc_id", "text", min_quadratic=10000) is None
+    forced = DD._text_members(few, "doc_id", "text", min_quadratic=0)
+    assert forced is not None and forced.where("id != rep").count() == 2
     for fn, kw, score in (
         (DD.minhash_lsh_pairs, dict(num_hashes=16, bands=8, threshold=0.1), "jaccard"),
         (DD.simhash_near_pairs, dict(max_hamming=20), "hamming"),
