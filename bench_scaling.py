@@ -27,9 +27,14 @@ import zipfile
 REPO = os.path.dirname(os.path.abspath(__file__))
 PKG = "faang_pydantics_validation_spark"
 DATA = os.path.join(REPO, "data", "scaling_transcripts")
-# ~57M turns: big enough that per-action planning/codegen serial time is
-# amortized (the sandbox proxy for the 10^12-turn target where it is ~0)
-SCALING_GEN_KWARGS = dict(n_convs=2000000, base_turns=20, hot_mult=25, seed=42, n_days=4)
+# ~19M turns: big enough that per-action planning/codegen serial time is
+# amortized (the sandbox proxy for the 10^12-turn target where it is ~0).
+# What amortizes is WALL PER RUN, not rows: the round-5 production ruleset
+# evaluates 13 scalar rules per turn (3.25x round-4's density), so ~19M
+# turns reaches the same ~200s local[2] run wall that 57M turns did under
+# the 4-rule suite — same serial-residue ratio, 3x shorter rounds, which
+# buys the 9-pair sample the round-4 verdict asked for.
+SCALING_GEN_KWARGS = dict(n_convs=650000, base_turns=20, hot_mult=25, seed=42, n_days=4)
 # N vs 4N on a SHARED 32-vCPU VM: 2 vs 8 is the cleanest pair — both
 # levels stay below the box's memory-bandwidth saturation, so the ratio
 # measures the ENGINE's scaling, not the host's bandwidth ceiling. The
@@ -77,9 +82,11 @@ def run_once(zpath: str, cores: int) -> dict:
         "--driver-memory", "24g",
         "--py-files", zpath,
         os.path.join(REPO, PKG, "jobs", "validate_bench.py"),
-        DATA, str(cores),
+        # 2 internal runs per JVM: run 1 pays JIT warmup, run 2 is the
+        # warmed sample; validate_bench reports best-of (== run 2)
+        DATA, str(cores), "2",
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
