@@ -165,7 +165,8 @@ def main() -> None:
         "  (hot_mult=25), seed 42 — auto-generated by this script",
         f"- rounds: {repeats}, INTERLEAVED local[{N}]/local[{N4}] pairs (adjacent",
         "  in time = same contention window), cold JVM per run (fresh",
-        "  spark-submit); each JVM reports best-of-3 internal repeats",
+        "  spark-submit); each JVM reports best-of-2 internal repeats",
+        "  (run 1 absorbs JIT warmup)",
         "- the timed job is ONE Spark action: the fused suite with one-pass",
         "  verdict aggregation (fast_verdicts; output parity asserted in",
         "  test_fused) — no persist step, no auxiliary counts",

@@ -538,6 +538,33 @@ def q_minhash_jaccard_verified(spark, sf_dir):
     )
 
 
+def q_minhash_group_form(spark, sf_dir):
+    """Group-form dedup output in the exact-recall configuration: docs with
+    doc_id < 50 re-appended at doc_id+10000 (planted exact-duplicate
+    groups), MinHash with rows-per-band=1 x 64 bands (candidate recall 1.0
+    at threshold 0.5, see q_minhash_jaccard_verified) + exact verification,
+    collapse FORCED (collapse_min_pairs=0 — the planted pair mass is under
+    the adaptive default). Output (rep_id, member_id, jaccard): one intra
+    edge per planted copy at jaccard exactly 1.0 plus the representative-
+    level verified near-dup pairs — linear in cluster size, SQL-expressible
+    because groups are normalized-text equivalence classes and inter edges
+    are the exact Jaccard relation over group representatives."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where("doc_id < 50").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return DD.minhash_lsh_pairs(
+        docs.unionByName(dups),
+        num_hashes=64,
+        bands=64,
+        threshold=0.5,
+        verify=True,
+        max_bucket=None,
+        group_form=True,
+        collapse_min_pairs=0,
+    )
+
+
 def q_simhash_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(docs, max_hamming=12, n_bands=4)
@@ -651,6 +678,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dups": q_embedding_near_dups,
     "minhash_lsh_documents": q_minhash_lsh_documents,
     "minhash_jaccard_verified": q_minhash_jaccard_verified,
+    "minhash_group_form": q_minhash_group_form,
     "simhash_documents": q_simhash_documents,
     "simhash_planted_dups": q_simhash_planted_dups,
     "ann_lsh": q_ann_lsh,

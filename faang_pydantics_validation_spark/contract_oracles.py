@@ -405,6 +405,47 @@ ORACLES: dict[str, str] = {
         FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(common / (sa.sz + sb.sz - common)::double, 6) >= 0.5
     """,
+    "minhash_group_form": r"""
+        -- group-form twin (see q_minhash_group_form): groups are
+        -- normalized-text equivalence classes over the planted corpus
+        -- (originals + doc_id<50 re-appended at +10000); intra edges =
+        -- (min-id rep -> each other member, jaccard 1.0); inter edges =
+        -- the exact-Jaccard >= 0.5 relation over group REPRESENTATIVES
+        -- (the minhash_jaccard_verified recipe restricted to reps)
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        ),
+        norm AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+          FROM d
+        ),
+        g AS (SELECT t, min(doc_id) rep FROM norm GROUP BY t),
+        m AS (SELECT g.rep, norm.doc_id id FROM norm JOIN g USING (t)),
+        reps AS (SELECT rep AS doc_id, t FROM g),
+        words AS (SELECT doc_id, string_split(t, ' ') ws FROM reps),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                      ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END sh
+          FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) i
+                FROM words)
+        ),
+        sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT rep AS rep_id, id AS member_id, 1.0::double jaccard
+        FROM m WHERE id != rep
+        UNION ALL
+        SELECT id_a, id_b,
+               round(common / (sa.sz + sb.sz - common)::double, 6) jaccard
+        FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(common / (sa.sz + sb.sz - common)::double, 6) >= 0.5
+    """,
     "text_quality": r"""
         WITH b AS (
           SELECT doc_id, text, len(text) n_chars,
