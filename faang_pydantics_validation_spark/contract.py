@@ -103,6 +103,498 @@ def q_rule_expr_props_k(spark, sf_dir):
     return v.select("event_id", "rule_id", "severity", "scope", "observed")
 
 
+def q_rule_consistency_map(spark, sf_dir):
+    """P18 consistency map (standard_ruleset.py:49-70 analog): returnflag
+    'N' must pair with linestatus 'O' — the N/F rows violate."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = compile_row_rules(
+        li,
+        [
+            RuleSpec(
+                "R_flag_status",
+                "consistency_map",
+                ("l_returnflag", "l_linestatus"),
+                params={"mapping": {"N": "O"}},
+            )
+        ],
+        key_cols=("l_orderkey", "l_linenumber"),
+        partition_col=None,
+    )
+    return v.select("l_orderkey", "l_linenumber", "rule_id", "severity", "observed")
+
+
+def q_rule_conditional_bound(spark, sf_dir):
+    """P9 conditional upper bound (water-oxygen semantics): value passes as
+    a percentage (<=100) or as an absolute reading (<=300); above both is a
+    violation. Rounded value re-joined (float->string formatting differs
+    across engines)."""
+    events = _t(spark, sf_dir, "events")
+    v = compile_row_rules(
+        events,
+        [
+            RuleSpec(
+                "R_value_dual_bound",
+                "conditional_upper_bound",
+                ("value",),
+                params={"pct_max": 100, "abs_max": 300},
+            )
+        ],
+        key_cols=("event_id",),
+        partition_col=None,
+    )
+    return v.join(events.select("event_id", "value"), "event_id").select(
+        "event_id", "rule_id", "severity", F.round("value", 2).alias("value")
+    )
+
+
+def q_rule_date_calendar(spark, sf_dir):
+    """P11 real-calendar date check: force every order date into February
+    of its year (keeping the day-of-month) — day > 28/29 yields a
+    format-valid but calendar-invalid string."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.date_format("o_orderdate", "yyyy"),
+            F.lit("-02-"),
+            F.date_format("o_orderdate", "dd"),
+        ).alias("feb_date"),
+    )
+    v = compile_row_rules(
+        df,
+        [RuleSpec("R_feb_date", "date_calendar", ("feb_date",))],
+        key_cols=("o_orderkey",),
+        partition_col=None,
+    )
+    return v.select("o_orderkey", "rule_id", "severity", "observed")
+
+
+def q_rule_url_schemes(spark, sf_dir):
+    """P15 URL scheme allow-list over a deterministic link column:
+    https passes, ftp and mailto (not in the allow-list) are flagged."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("https://ex.org/"), did))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("ftp://ex.org/"), did))
+        .otherwise(F.lit("mailto:user@ex.org"))
+        .alias("link"),
+    )
+    v = compile_row_rules(
+        df,
+        [RuleSpec("R_link", "url", ("link",), severity="warning")],
+        key_cols=("doc_id",),
+        partition_col=None,
+    )
+    return v.select("doc_id", "rule_id", "severity", "observed")
+
+
+def q_rule_pair_required(spark, sf_dir):
+    """X1 both-or-neither pairing (organism text<->term analog) over
+    deterministically-nulled columns: a missing on id%5, b on id%7 — rows
+    where exactly one side is present violate."""
+    events = _t(spark, sf_dir, "events")
+    df = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("event_type")).alias("a_text"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.lit("x")).alias("b_term"),
+    )
+    v = compile_row_rules(
+        df,
+        [RuleSpec("R_pair", "pair_required", ("a_text", "b_term"))],
+        key_cols=("event_id",),
+        partition_col=None,
+    )
+    return v.select("event_id", "rule_id", "severity", "observed")
+
+
+def q_rule_conditional_required(spark, sf_dir):
+    """X3 required-unless (organoid freezing-method analog): detail is
+    required unless event_type == 'view'; detail missing on id%11."""
+    events = _t(spark, sf_dir, "events")
+    df = events.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.lit("ok")).alias("detail"),
+    )
+    v = compile_row_rules(
+        df,
+        [
+            RuleSpec(
+                "R_detail_required",
+                "conditional_required",
+                ("event_type", "detail"),
+                params={"unless_values": ["view"]},
+            )
+        ],
+        key_cols=("event_id",),
+        partition_col=None,
+    )
+    return v.select("event_id", "rule_id", "severity", "observed")
+
+
+def q_rule_term_format(spark, sf_dir):
+    """P3 underscore->colon normalization + term-format check: NCIT_<id>
+    normalizes clean, NCIT:<id> already clean, 'bad id' violates, blank
+    passes through as NULL."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("NCIT_"), did))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("NCIT:"), did))
+        .when(F.col("doc_id") % 4 == 2, F.lit("bad id"))
+        .otherwise(F.lit(" "))
+        .alias("term"),
+    )
+    v = compile_row_rules(
+        df,
+        [
+            RuleSpec(
+                "R_term_format",
+                "term_format",
+                ("term",),
+                params={"pattern": "^[A-Za-z]+:[0-9]+$"},
+            )
+        ],
+        key_cols=("doc_id",),
+        partition_col=None,
+    )
+    return v.select("doc_id", "rule_id", "severity", "observed")
+
+
+def q_rule_sentinel_tiers(spark, sf_dir):
+    """P5 sentinel tier semantics (constants.py:214-228 analog): the SAME
+    numeric rule at all three tiers over a column seeded with every
+    sentinel, a blank, a base violation, and a clean value."""
+    events = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 10
+    df = events.select(
+        "event_id",
+        F.when(m == 0, F.lit("not applicable"))
+        .when(m == 1, F.lit("not collected"))
+        .when(m == 2, F.lit("not provided"))
+        .when(m == 3, F.lit("restricted access"))
+        .when(m == 4, F.lit(" "))
+        .when(m == 5, F.lit("500"))
+        .otherwise(F.lit("50"))
+        .alias("reading"),
+    )
+    rules = [
+        RuleSpec("R_mand", "numeric", ("reading",), params={"max": 100}, tier="mandatory"),
+        RuleSpec("R_rec", "numeric", ("reading",), params={"max": 100}, tier="recommended"),
+        RuleSpec("R_opt", "numeric", ("reading",), params={"max": 100}, tier="optional"),
+    ]
+    v = compile_row_rules(df, rules, key_cols=("event_id",), partition_col=None)
+    return v.select("event_id", "rule_id", "severity", "observed")
+
+
+def q_rule_date_by_unit(spark, sf_dir):
+    """P10/X4 unit-driven date format (organism_ruleset.py:231-235 analog):
+    unit column selects the regex the date column must match."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("YYYY"))
+        .otherwise(F.lit("YYYY-MM-DD"))
+        .alias("unit"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.lit("n/a"))
+        .alias("d"),
+    )
+    v = compile_row_rules(
+        df,
+        [
+            RuleSpec(
+                "R_date_unit",
+                "date_by_unit",
+                ("d", "unit"),
+                params={
+                    "formats": {
+                        "YYYY": r"^\d{4}$",
+                        "YYYY-MM-DD": r"^\d{4}-\d{2}-\d{2}$",
+                    }
+                },
+            )
+        ],
+        key_cols=("o_orderkey",),
+        partition_col=None,
+    )
+    return v.select("o_orderkey", "rule_id", "severity", "observed")
+
+
+def q_rule_timestamp_strip(spark, sf_dir):
+    """P12 timestamp strip (pool_of_specimens_ruleset.py:60-62 analog):
+    'date time' strings pass/fail on the DATE PART only."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit(" 00:00:00")),
+        )
+        .otherwise(
+            F.concat(F.date_format("o_orderdate", "yyyy/MM/dd"), F.lit(" 12:30:00"))
+        )
+        .alias("dt"),
+    )
+    v = compile_row_rules(
+        df,
+        [
+            RuleSpec(
+                "R_dt_strip",
+                "regex",
+                ("dt",),
+                params={"pattern": r"^\d{4}-\d{2}-\d{2}$", "strip_time": True},
+            )
+        ],
+        key_cols=("o_orderkey",),
+        partition_col=None,
+    )
+    return v.select("o_orderkey", "rule_id", "severity", "observed")
+
+
+def q_rule_time_photoperiod(spark, sf_dir):
+    """P13 HH:MM regex + P14 photoperiod regex with literal allow-list, as
+    two rules over synthesized columns in one pass."""
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("12:30"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("99:99"))
+        .otherwise(F.lit(" "))
+        .alias("hhmm"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("12L:12D"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("natural light"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("constant"))
+        .otherwise(F.lit(""))
+        .alias("photo"),
+    )
+    v = compile_row_rules(
+        df,
+        [
+            RuleSpec(
+                "R_time",
+                "regex",
+                ("hhmm",),
+                params={"pattern": r"^([01]\d|2[0-3]):[0-5]\d$"},
+            ),
+            RuleSpec(
+                "R_photo",
+                "regex",
+                ("photo",),
+                params={
+                    "pattern": r"^[0-9]{1,2}L:[0-9]{1,2}D$",
+                    "allow": ["natural light"],
+                },
+                severity="warning",
+            ),
+        ],
+        key_cols=("doc_id",),
+        partition_col=None,
+    )
+    return v.select("doc_id", "rule_id", "severity", "observed")
+
+
+def q_rule_array_size(spark, sf_dir):
+    """A2/A3/A4/A7 cardinality bounds on a blank-normalized array column:
+    size must land in [1, 2] after dropping blank elements."""
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.split(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("a"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("a,b"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("a,b,c"))
+            .otherwise(F.lit(" ")),
+            ",",
+        ).alias("parents"),
+    )
+    v = compile_row_rules(
+        df,
+        [RuleSpec("R_parents_card", "array_size", ("parents",), params={"min": 1, "max": 2})],
+        key_cols=("doc_id",),
+        partition_col=None,
+    )
+    return v.select("doc_id", "rule_id", "severity", "observed")
+
+
+def q_rule_array_elements(spark, sf_dir):
+    """A6 per-element regex (picture-URL analog) + A5-predicate per-element
+    enum, one pass; observed is the comma-joined offending elements."""
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.split(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("https://a,https://b"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("https://a,ftp://b"))
+            .otherwise(F.lit("http://a")),
+            ",",
+        ).alias("urls"),
+        F.split(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("click,view"))
+            .otherwise(F.lit("click,zzz")),
+            ",",
+        ).alias("kinds"),
+    )
+    v = compile_row_rules(
+        df,
+        [
+            RuleSpec(
+                "R_url_elems",
+                "array_element_regex",
+                ("urls",),
+                params={"pattern": r"^https?://"},
+            ),
+            RuleSpec(
+                "R_kind_elems",
+                "array_element_enum",
+                ("kinds",),
+                params={"values": EVENT_TYPES_OK},
+            ),
+        ],
+        key_cols=("doc_id",),
+        partition_col=None,
+    )
+    return v.select("doc_id", "rule_id", "severity", "observed")
+
+
+def q_prefix_route_docs(spark, sf_dir):
+    """J2 prefix routing: the term's ontology prefix (after _->: norm) must
+    be one of the field's legal ontologies; sentinels are skipped."""
+    docs = _t(spark, sf_dir, "documents")
+    facts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("not provided"))
+        .when(F.col("doc_id") % 3 == 0, F.lit("NCIT_12"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("FOO:9"))
+        .otherwise(F.lit("PATO:5"))
+        .alias("term"),
+    )
+    from .operators import ontology as ON
+
+    return ON.prefix_route_rule(
+        facts, "term", {"f": ["NCIT", "PATO"]}, "R_prefix", ds=False
+    ).select("conv_id", "rule_id", "severity", "scope", "observed")
+
+
+def q_subclass_docs(spark, sf_dir):
+    """J4 graph-restriction: term must descend from NCIT:1 via the
+    precomputed is_a_path closure (built here by build_term_closure from a
+    literal edge list; the oracle rebuilds it with WITH RECURSIVE)."""
+    from .operators import ontology as ON
+
+    edges = spark.createDataFrame(
+        [("NCIT:1", "ROOT"), ("NCIT:2", "NCIT:1"), ("NCIT:3", "OTHER")],
+        "child string, parent string",
+    )
+    dim = ON.build_term_closure(edges)
+    docs = _t(spark, sf_dir, "documents")
+    facts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("NCIT:1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("NCIT:2"))
+        .otherwise(F.lit("NCIT:3"))
+        .alias("term"),
+    )
+    return ON.subclass_restriction_rule(
+        facts, dim, "term", ["NCIT:1"], "R_subclass", ds=False
+    ).select("conv_id", "rule_id", "severity", "scope", "observed")
+
+
+def q_label_match_customer(spark, sf_dir):
+    """J3 text<->label match (warning): provided text must equal the dim
+    label for the referenced term, case-insensitive."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    facts = cust.join(
+        nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name"),
+        "c_nationkey",
+    ).select(
+        F.col("c_custkey").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("c_nationkey").cast("string").alias("nkey"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("WRONG"))
+        .otherwise(F.lower(F.col("n_name")))
+        .alias("ctext"),
+    )
+    dim = nation.select(F.col("n_nationkey").cast("string").alias("term"), F.col("n_name").alias("label"))
+    return RJ.label_match_rule(
+        facts, dim, "nkey", F.col("ctext"), "term", "label", "R_nation_label", ds=False
+    ).select("conv_id", "rule_id", "severity", "scope", "observed")
+
+
+def q_parent_attr_customer(spark, sf_dir):
+    """J8 parent-child attribute match via self-join: every customer's
+    decade-root parent must share its market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    entities = cust.select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.when(
+            F.col("c_custkey") % 10 != 0,
+            (F.col("c_custkey") - F.col("c_custkey") % 10).cast("string"),
+        ).alias("parent"),
+        F.col("c_mktsegment").alias("attr"),
+    )
+    return RJ.self_join_parent_match(
+        entities, "id", "parent", "attr", "R_parent_seg"
+    ).select("conv_id", "rule_id", "severity", "scope", "observed")
+
+
+def q_circular_customer(spark, sf_dir):
+    """J9 1-hop circularity: planted mutual parent pointers at every
+    %100 boundary pair; all other pointers are dangling (no cycle)."""
+    cust = _t(spark, sf_dir, "customer")
+    partner = (
+        F.when(F.col("c_custkey") % 100 == 0, F.col("c_custkey") + 1)
+        .when(F.col("c_custkey") % 100 == 1, F.col("c_custkey") - 1)
+        .otherwise(F.col("c_custkey") + 1000000)
+    )
+    entities = cust.select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.array(partner.cast("string")).alias("parents"),
+    )
+    return RJ.circular_reference_rule(entities, "id", "parents", "R_circular").select(
+        "conv_id", "rule_id", "severity", "scope", "observed"
+    )
+
+
+def q_nested_elements_docs(spark, sf_dir):
+    """A5 nested {text,term} array validation: one explode + broadcast dim;
+    missing term -> error, text!=label -> warning."""
+    from .operators import ontology as ON
+
+    dim = spark.createDataFrame(
+        [("NCIT:1", "Alpha"), ("NCIT:2", "Beta")], "term string, label string"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    facts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.array(
+            F.struct(
+                F.when(F.col("doc_id") % 5 == 0, F.lit("Wrong"))
+                .otherwise(F.lit("alpha"))
+                .alias("text"),
+                F.lit("NCIT:1").alias("term"),
+            ),
+            F.struct(
+                F.lit("beta").alias("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("NCIT:9"))
+                .otherwise(F.lit("NCIT:2"))
+                .alias("term"),
+            ),
+        ).alias("elems"),
+    )
+    return ON.nested_elements_rule(
+        facts, dim, "elems", "R_term_exists", "R_term_label", ds=False
+    ).select("conv_id", "rule_id", "severity", "scope", "observed")
+
+
 def q_schema_check_events(spark, sf_dir):
     """P17 unknown-field rejection at table grain: declare a contract that
     (a) omits `props` (-> unknown column), (b) requires `session_id`
@@ -650,6 +1142,25 @@ QUERIES: dict[str, QueryFn] = {
     "rule_required_props": q_rule_required_props,
     "rule_numeric_value_range": q_rule_numeric_value_range,
     "rule_expr_props_k": q_rule_expr_props_k,
+    "rule_consistency_map": q_rule_consistency_map,
+    "rule_conditional_bound": q_rule_conditional_bound,
+    "rule_date_calendar": q_rule_date_calendar,
+    "rule_url_schemes": q_rule_url_schemes,
+    "rule_pair_required": q_rule_pair_required,
+    "rule_conditional_required": q_rule_conditional_required,
+    "rule_term_format": q_rule_term_format,
+    "rule_sentinel_tiers": q_rule_sentinel_tiers,
+    "rule_date_by_unit": q_rule_date_by_unit,
+    "rule_timestamp_strip": q_rule_timestamp_strip,
+    "rule_time_photoperiod": q_rule_time_photoperiod,
+    "rule_array_size": q_rule_array_size,
+    "rule_array_elements": q_rule_array_elements,
+    "prefix_route_docs": q_prefix_route_docs,
+    "subclass_docs": q_subclass_docs,
+    "label_match_customer": q_label_match_customer,
+    "parent_attr_customer": q_parent_attr_customer,
+    "circular_customer": q_circular_customer,
+    "nested_elements_docs": q_nested_elements_docs,
     "schema_check_events": q_schema_check_events,
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_user_supplier": q_referential_user_supplier,

@@ -75,6 +75,323 @@ ORACLES: dict[str, str] = {
         FROM events
         WHERE try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS int) >= 90
     """,
+    "rule_consistency_map": """
+        -- P18: mapping {'N': 'O'} over normalized (trim + ''->NULL) key
+        -- and value columns; observed is the RAW value column
+        SELECT l_orderkey, l_linenumber, 'R_flag_status' AS rule_id,
+               'error' AS severity,
+               coalesce(cast(l_linestatus AS varchar), '<null>') AS observed
+        FROM lineitem
+        WHERE nullif(trim(l_returnflag), '') = 'N'
+          AND nullif(trim(l_linestatus), '') IS NOT NULL
+          AND nullif(trim(l_linestatus), '') <> 'O'
+    """,
+    "rule_conditional_bound": """
+        -- P9: violation only when the value exceeds BOTH the percentage
+        -- cap (100) and the absolute cap (300)
+        SELECT event_id, 'R_value_dual_bound' AS rule_id, 'error' AS severity,
+               round(value, 2) AS value
+        FROM events
+        WHERE try_cast(value AS double) > 100 AND try_cast(value AS double) > 300
+    """,
+    "rule_date_calendar": r"""
+        -- P11: format-matching string that is not a real calendar date
+        WITH d AS (
+          SELECT o_orderkey,
+                 strftime(o_orderdate, '%Y') || '-02-' || strftime(o_orderdate, '%d') AS feb_date
+          FROM orders
+        )
+        SELECT o_orderkey, 'R_feb_date' AS rule_id, 'error' AS severity,
+               feb_date AS observed
+        FROM d
+        WHERE regexp_matches(feb_date, '^\d{4}-\d{2}-\d{2}$')
+          AND try_strptime(feb_date, '%Y-%m-%d') IS NULL
+    """,
+    "rule_url_schemes": """
+        -- P15: scheme allow-list (http, https); ftp and mailto flagged
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'https://ex.org/' || doc_id
+                      WHEN doc_id % 3 = 1 THEN 'ftp://ex.org/' || doc_id
+                      ELSE 'mailto:user@ex.org' END AS link
+          FROM documents
+        )
+        SELECT doc_id, 'R_link' AS rule_id, 'warning' AS severity,
+               link AS observed
+        FROM d WHERE NOT regexp_matches(link, '^(http|https)://')
+    """,
+    "rule_pair_required": """
+        -- X1: exactly one side present (after trim + ''->NULL)
+        WITH d AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 5 = 0 THEN NULL
+                      ELSE nullif(trim(event_type), '') END AS a_text,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE 'x' END AS b_term
+          FROM events
+        )
+        SELECT event_id, 'R_pair' AS rule_id, 'error' AS severity,
+               coalesce(a_text, '<null>') || '|' || coalesce(b_term, '<null>') AS observed
+        FROM d
+        WHERE (a_text IS NOT NULL AND b_term IS NULL)
+           OR (a_text IS NULL AND b_term IS NOT NULL)
+    """,
+    "rule_conditional_required": """
+        -- X3: detail required unless event_type == 'view'; observed is the
+        -- RAW condition column
+        SELECT event_id, 'R_detail_required' AS rule_id, 'error' AS severity,
+               coalesce(cast(event_type AS varchar), '<null>') AS observed
+        FROM events
+        WHERE nullif(trim(event_type), '') IS NOT NULL
+          AND nullif(trim(event_type), '') <> 'view'
+          AND event_id % 11 = 0
+    """,
+    "rule_term_format": """
+        -- P3: underscore->colon normalization (all underscores, only when
+        -- no colon present) then format check; blank passes as NULL;
+        -- observed is the RAW term
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN 'NCIT_' || doc_id
+                      WHEN doc_id % 4 = 1 THEN 'NCIT:' || doc_id
+                      WHEN doc_id % 4 = 2 THEN 'bad id'
+                      ELSE ' ' END AS term
+          FROM documents
+        ),
+        n AS (
+          SELECT doc_id, term,
+                 CASE WHEN t LIKE '%:%' THEN t
+                      ELSE regexp_replace(t, '_', ':', 'g') END AS norm
+          FROM (SELECT doc_id, term, nullif(trim(term), '') AS t FROM d)
+        )
+        SELECT doc_id, 'R_term_format' AS rule_id, 'error' AS severity,
+               coalesce(term, '<null>') AS observed
+        FROM n
+        WHERE norm IS NOT NULL AND NOT regexp_matches(norm, '^[A-Za-z]+:[0-9]+$')
+    """,
+    "rule_sentinel_tiers": """
+        -- P5: MISSING_VALUE_POLICY (constants.py:214-228) — sentinel
+        -- short-circuits the base numeric check; base violation ('500' >
+        -- max 100) fires at every tier with the rule's own severity
+        WITH d AS (
+          SELECT event_id, event_id % 10 AS m,
+                 CASE WHEN event_id % 10 = 0 THEN 'not applicable'
+                      WHEN event_id % 10 = 1 THEN 'not collected'
+                      WHEN event_id % 10 = 2 THEN 'not provided'
+                      WHEN event_id % 10 = 3 THEN 'restricted access'
+                      WHEN event_id % 10 = 4 THEN ' '
+                      WHEN event_id % 10 = 5 THEN '500'
+                      ELSE '50' END AS reading
+          FROM events
+        )
+        SELECT event_id, 'R_mand' AS rule_id,
+               CASE WHEN m = 3 THEN 'warning' ELSE 'error' END AS severity,
+               reading AS observed
+        FROM d WHERE m IN (0, 1, 2, 3, 5)
+        UNION ALL
+        SELECT event_id, 'R_rec',
+               CASE WHEN m IN (1, 2) THEN 'warning' ELSE 'error' END,
+               reading
+        FROM d WHERE m IN (1, 2, 5)
+        UNION ALL
+        SELECT event_id, 'R_opt', 'error', reading
+        FROM d WHERE m IN (0, 1, 2, 3, 5)
+    """,
+    "rule_date_by_unit": r"""
+        -- P10/X4: unit column selects the date regex
+        WITH d AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 'YYYY' ELSE 'YYYY-MM-DD' END AS unit,
+                 CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y')
+                      WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                      ELSE 'n/a' END AS dt
+          FROM orders
+        )
+        SELECT o_orderkey, 'R_date_unit' AS rule_id, 'error' AS severity,
+               dt AS observed
+        FROM d
+        WHERE (unit = 'YYYY' AND NOT regexp_matches(dt, '^\d{4}$'))
+           OR (unit = 'YYYY-MM-DD' AND NOT regexp_matches(dt, '^\d{4}-\d{2}-\d{2}$'))
+    """,
+    "rule_timestamp_strip": r"""
+        -- P12: strip ' HH:MM:SS' then apply the date regex; observed is
+        -- the RAW (unstripped) value
+        WITH d AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 2 = 0
+                      THEN strftime(o_orderdate, '%Y-%m-%d') || ' 00:00:00'
+                      ELSE strftime(o_orderdate, '%Y/%m/%d') || ' 12:30:00' END AS dt
+          FROM orders
+        )
+        SELECT o_orderkey, 'R_dt_strip' AS rule_id, 'error' AS severity,
+               dt AS observed
+        FROM d
+        WHERE NOT regexp_matches(split_part(dt, ' ', 1), '^\d{4}-\d{2}-\d{2}$')
+    """,
+    "rule_time_photoperiod": r"""
+        -- P13 HH:MM + P14 photoperiod-with-allow; blanks pass as NULL
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN '12:30'
+                      WHEN doc_id % 3 = 1 THEN '99:99'
+                      ELSE NULL END AS hhmm,
+                 CASE WHEN doc_id % 4 = 0 THEN '12L:12D'
+                      WHEN doc_id % 4 = 1 THEN 'natural light'
+                      WHEN doc_id % 4 = 2 THEN 'constant'
+                      ELSE NULL END AS photo
+          FROM documents
+        )
+        SELECT doc_id, 'R_time' AS rule_id, 'error' AS severity,
+               hhmm AS observed
+        FROM d
+        WHERE hhmm IS NOT NULL
+          AND NOT regexp_matches(hhmm, '^([01]\d|2[0-3]):[0-5]\d$')
+        UNION ALL
+        SELECT doc_id, 'R_photo', 'warning', photo
+        FROM d
+        WHERE photo IS NOT NULL
+          AND NOT regexp_matches(photo, '^[0-9]{1,2}L:[0-9]{1,2}D$')
+          AND photo <> 'natural light'
+    """,
+    "rule_array_size": """
+        -- A2-A4/A7: size in [1, 2] after dropping blank elements;
+        -- observed is the normalized size
+        WITH d AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   string_split(CASE WHEN doc_id % 4 = 0 THEN 'a'
+                                     WHEN doc_id % 4 = 1 THEN 'a,b'
+                                     WHEN doc_id % 4 = 2 THEN 'a,b,c'
+                                     ELSE ' ' END, ','),
+                   x -> trim(x) <> '')) AS n
+          FROM documents
+        )
+        SELECT doc_id, 'R_parents_card' AS rule_id, 'error' AS severity,
+               cast(n AS varchar) AS observed
+        FROM d WHERE n < 1 OR n > 2
+    """,
+    "rule_array_elements": """
+        -- A6 per-element regex + A5-predicate per-element enum; observed
+        -- is the comma-joined offenders
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(CASE WHEN doc_id % 3 = 0 THEN 'https://a,https://b'
+                                   WHEN doc_id % 3 = 1 THEN 'https://a,ftp://b'
+                                   ELSE 'http://a' END, ',') AS urls,
+                 string_split(CASE WHEN doc_id % 2 = 0 THEN 'click,view'
+                                   ELSE 'click,zzz' END, ',') AS kinds
+          FROM documents
+        )
+        SELECT doc_id, 'R_url_elems' AS rule_id, 'error' AS severity,
+               array_to_string(list_filter(urls, x -> NOT regexp_matches(x, '^https?://')), ',') AS observed
+        FROM d
+        WHERE len(list_filter(urls, x -> NOT regexp_matches(x, '^https?://'))) > 0
+        UNION ALL
+        SELECT doc_id, 'R_kind_elems', 'error',
+               array_to_string(list_filter(kinds, x -> x NOT IN ('click', 'view', 'purchase')), ',')
+        FROM d
+        WHERE len(list_filter(kinds, x -> x NOT IN ('click', 'view', 'purchase'))) > 0
+    """,
+    "prefix_route_docs": """
+        -- J2: prefix (before ':', after _->: norm) must be a legal
+        -- ontology; sentinel values are skipped
+        WITH d AS (
+          SELECT cast(doc_id AS varchar) AS conv_id,
+                 CASE WHEN doc_id % 7 = 0 THEN 'not provided'
+                      WHEN doc_id % 3 = 0 THEN 'NCIT_12'
+                      WHEN doc_id % 3 = 1 THEN 'FOO:9'
+                      ELSE 'PATO:5' END AS term
+          FROM documents
+        ),
+        n AS (
+          SELECT conv_id, term,
+                 CASE WHEN term LIKE '%:%' THEN term
+                      ELSE regexp_replace(term, '_', ':', 'g') END AS norm
+          FROM d
+          WHERE term NOT IN ('not applicable', 'not collected', 'not provided', 'restricted access')
+        )
+        SELECT conv_id, 'R_prefix' AS rule_id, 'error' AS severity,
+               'turn' AS scope, term AS observed
+        FROM n WHERE split_part(norm, ':', 1) NOT IN ('NCIT', 'PATO')
+    """,
+    "subclass_docs": """
+        -- J4: is-a transitive closure (WITH RECURSIVE over the same
+        -- literal edges) — term must have NCIT:1 among {self} U ancestors
+        WITH RECURSIVE edges(child, parent) AS (
+          VALUES ('NCIT:1', 'ROOT'), ('NCIT:2', 'NCIT:1'), ('NCIT:3', 'OTHER')
+        ),
+        anc(term, a) AS (
+          SELECT child, child FROM edges
+          UNION
+          SELECT anc.term, e.parent FROM anc JOIN edges e ON anc.a = e.child
+        ),
+        d AS (
+          SELECT cast(doc_id AS varchar) AS conv_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'NCIT:1'
+                      WHEN doc_id % 3 = 1 THEN 'NCIT:2'
+                      ELSE 'NCIT:3' END AS term
+          FROM documents
+        )
+        SELECT conv_id, 'R_subclass' AS rule_id, 'error' AS severity,
+               'turn' AS scope, term AS observed
+        FROM d
+        WHERE EXISTS (SELECT 1 FROM anc WHERE anc.term = d.term)
+          AND NOT EXISTS (SELECT 1 FROM anc WHERE anc.term = d.term AND anc.a = 'NCIT:1')
+    """,
+    "label_match_customer": """
+        -- J3: provided text must equal the dim label (case-insensitive);
+        -- WARNING severity
+        SELECT cast(c_custkey AS varchar) AS conv_id,
+               'R_nation_label' AS rule_id, 'warning' AS severity,
+               'turn' AS scope,
+               CASE WHEN c_custkey % 5 = 0 THEN 'WRONG' ELSE lower(n_name) END AS observed
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE lower(CASE WHEN c_custkey % 5 = 0 THEN 'WRONG' ELSE lower(n_name) END)
+              <> lower(n_name)
+    """,
+    "parent_attr_customer": """
+        -- J8: child segment must equal decade-root parent's segment
+        WITH e AS (
+          SELECT cast(c_custkey AS varchar) AS id,
+                 CASE WHEN c_custkey % 10 <> 0
+                      THEN cast(c_custkey - (c_custkey % 10) AS varchar) END AS pid,
+                 c_mktsegment AS attr
+          FROM customer
+        )
+        SELECT c.id AS conv_id, 'R_parent_seg' AS rule_id, 'error' AS severity,
+               'conv' AS scope, c.attr || '!=' || p.attr AS observed
+        FROM e c JOIN e p ON c.pid = p.id
+        WHERE c.attr <> p.attr
+    """,
+    "circular_customer": """
+        -- J9: 1-hop circularity over planted mutual pointers; both
+        -- directions emit
+        WITH e AS (
+          SELECT cast(c_custkey AS varchar) AS child,
+                 cast(CASE WHEN c_custkey % 100 = 0 THEN c_custkey + 1
+                           WHEN c_custkey % 100 = 1 THEN c_custkey - 1
+                           ELSE c_custkey + 1000000 END AS varchar) AS parent
+          FROM customer
+        )
+        SELECT DISTINCT a.child AS conv_id, 'R_circular' AS rule_id,
+               'error' AS severity, 'conv' AS scope,
+               a.child || '<->' || a.parent AS observed
+        FROM e a JOIN e b ON a.child = b.parent AND a.parent = b.child
+    """,
+    "nested_elements_docs": """
+        -- A5: explode {text,term} elements against dim
+        -- {NCIT:1: Alpha, NCIT:2: Beta}: elem1 term always exists (text
+        -- 'Wrong' mismatches on doc_id%5), elem2 term is the missing
+        -- NCIT:9 on doc_id%3
+        WITH f AS (SELECT cast(doc_id AS varchar) AS conv_id,
+                          doc_id % 5 AS m5, doc_id % 3 AS m3
+                   FROM documents)
+        SELECT conv_id, 'R_term_exists' AS rule_id, 'error' AS severity,
+               'turn' AS scope, 'NCIT:9' AS observed
+        FROM f WHERE m3 = 0
+        UNION ALL
+        SELECT conv_id, 'R_term_label', 'warning', 'turn', 'Wrong'
+        FROM f WHERE m5 = 0
+    """,
     "schema_check_events": """
         -- the P17 check is driver-side metadata over a FIXED declared
         -- contract vs the parquet schema, so its expected output is a
