@@ -188,8 +188,16 @@ def summarize_from_log(log_path: str) -> None:
         elif line.startswith("round "):
             r = ast.literal_eval(line.split(": ", 1)[1])
             results[r["cores"]].append(r)
-    assert hw_eff is not None and len(results[N]) == len(results[N4])
-    summarize(results, hw_eff, len(results[N]), bw_eff)
+    assert hw_eff is not None
+    # A killed run may leave a trailing half-finished round (one leg
+    # recorded, the other not). Pairing is positional — each COMPLETED
+    # round appends exactly one run to each list regardless of that
+    # round's leg order — so truncating both lists to the shorter one
+    # drops only the orphan leg and keeps every complete pair aligned.
+    m = min(len(results[N]), len(results[N4]))
+    assert m >= 1, "log contains no complete interleaved pair"
+    results = {c: rs[:m] for c, rs in results.items()}
+    summarize(results, hw_eff, m, bw_eff)
 
 
 def _best_run_metrics(r: dict) -> tuple:

@@ -91,3 +91,21 @@ def test_summarize_from_log_pre_instrumentation(tmp_path, monkeypatch, capsys):
     assert s["bw_ceiling"] is None
     md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
     assert "predate the REST instrumentation" in md
+
+
+def test_summarize_from_log_trailing_orphan_leg(tmp_path, monkeypatch):
+    """A log from a killed run whose final round recorded only one leg
+    still summarizes over the complete pairs (the orphan is dropped)."""
+    monkeypatch.setattr(B, "REPO", str(tmp_path))
+    (tmp_path / "data").mkdir()
+    log = tmp_path / "partial.log"
+    log.write_text(
+        "hardware calibration: {2: 1.0, 8: 4.0} -> ceiling 1.000\n"
+        + f"round 1 local[2]: {_run(2, [100.0])}\n"
+        + f"round 1 local[8]: {_run(8, [30.0])}\n"
+        # round 2 alternated leg order and was killed after its first leg
+        + f"round 2 local[8]: {_run(8, [40.0])}\n"
+    )
+    B.summarize_from_log(str(log))
+    s = json.load(open(tmp_path / "data" / "scaling_summary.json"))
+    assert s["eff_pairs_interleaved"] == [0.833]
