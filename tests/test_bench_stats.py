@@ -109,3 +109,21 @@ def test_summarize_from_log_trailing_orphan_leg(tmp_path, monkeypatch):
     B.summarize_from_log(str(log))
     s = json.load(open(tmp_path / "data" / "scaling_summary.json"))
     assert s["eff_pairs_interleaved"] == [0.833]
+
+
+def test_verdict_lines_three_outcomes():
+    """The report's conclusion must follow the stats: wall pass, engine
+    pass (wall fail), and honest fail are mutually exclusive branches."""
+    wall_pass = "\n".join(B._verdict_lines(0.85, 0.84, 0.9, 0.96, 0.91))
+    assert "PASS on wall-clock" in wall_pass
+
+    engine_pass = "\n".join(B._verdict_lines(0.74, 0.75, 0.86, 0.96, 0.91))
+    assert "the ENGINE clears it" in engine_pass
+    assert "0.95x" in engine_pass  # 0.86 / 0.91 vs the bandwidth ceiling
+
+    fail = "\n".join(B._verdict_lines(0.6, 0.62, 0.7, 0.96, 0.91))
+    assert "**FAIL**" in fail and "cannot be attributed to host noise" in fail
+
+    # no decomposition available -> still an honest fail, no crash
+    fail2 = "\n".join(B._verdict_lines(0.6, 0.62, None, 0.96, None))
+    assert "no task-metric decomposition" in fail2
