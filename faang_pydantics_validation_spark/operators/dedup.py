@@ -17,8 +17,9 @@ Scale design (the point of each algorithm at 100 TB):
 
 All hashing is xxhash64/crc32 (Spark-native, JVM-side).
 
-Cache lifetime: the operators persist slim reused intermediates
-(shingle/token tables, banded signatures, the collapse member map) with
+Cache lifetime: the operators persist reused intermediates (the one-scan
+(id, digest, shingles/tokens) base frames of the banded operators, the
+ngram shingle table, banded signatures, the collapse member map) with
 MEMORY_AND_DISK and do NOT unpersist them — the returned DataFrames are
 lazy and still reference those caches. Spark's cache manager dedupes
 repeated calls by canonicalized plan, so re-running the same operator on
@@ -179,12 +180,9 @@ def _persisted(df: DataFrame) -> DataFrame:
     return df
 
 
-def _text_members(
-    df: DataFrame, id_col: str, text_col: str, min_quadratic: int = 0
-) -> DataFrame | None:
-    """(rep, id), persisted: rep = min(id) over normalization-identical
-    documents, computed WITHOUT shuffling the text column — the md5 digest
-    is evaluated map-side and only the slim (digest, id) pairs shuffle
+def _members_from_slim(slim: DataFrame, min_quadratic: int = 0) -> DataFrame | None:
+    """(rep, id), persisted, from a slim (id, __dig) frame: rep = min(id)
+    over normalization-identical documents — only the slim pairs shuffle
     (one map-side-combined groupBy + one equi-join). Persisted because it
     feeds the representative semi-join AND the intra/inter pair
     re-expansion joins.
@@ -201,11 +199,13 @@ def _text_members(
     aggregate over the already-shuffled slim (digest, id) pairs; callers
     treat None exactly like collapse_exact=False (output is
     value-identical either way — the collapse is a plan optimization).
-    min_quadratic=0 engages the collapse whenever ANY duplicate exists."""
-    slim = df.select(
-        F.col(id_col).alias("id"),
-        F.md5(normalized_text(F.col(text_col))).alias("__dig"),
-    )
+    min_quadratic=0 engages the collapse whenever ANY duplicate exists.
+
+    The eager q-check action is how the banded operators get their ONE
+    text scan: they pass a projection of the persisted (id, digest,
+    shingles/tokens) base frame, so the q job MATERIALIZES the base and
+    the main action reads tokenization off the cache instead of
+    re-scanning the corpus."""
     groups = _persisted(
         slim.groupBy("__dig").agg(
             F.min("id").alias("rep"), F.count(F.lit(1)).alias("__n")
@@ -222,6 +222,20 @@ def _text_members(
         _CACHES.remove(groups)
         return None
     return _persisted(slim.join(groups, "__dig").select("rep", "id"))
+
+
+def _text_members(
+    df: DataFrame, id_col: str, text_col: str, min_quadratic: int = 0
+) -> DataFrame | None:
+    """_members_from_slim over a fresh map-side digest of the text column
+    (the text itself never shuffles)."""
+    return _members_from_slim(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalized_text(F.col(text_col))).alias("__dig"),
+        ),
+        min_quadratic,
+    )
 
 
 def _expand_member_pairs(
@@ -330,6 +344,11 @@ def minhash_signatures(
     xxhash64(shingle, seed=i). One explode + one groupBy with num_hashes
     min-aggregates (all algebraic -> map-side combined)."""
     sh = _shingle_table(df, id_col, text_col, shingle_n, persist=True)
+    return _sigs_from_shingles(sh, num_hashes)
+
+
+def _sigs_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signatures off a prebuilt (id, sh) shingle stream."""
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
     ]
@@ -385,18 +404,33 @@ def minhash_lsh_pairs(
     then bounds the residual hazard of NEAR-identical floods (see
     _bucket_cap).
 
-    Output: (id_a, id_b[, jaccard]) distinct."""
+    Output: (id_a, id_b[, jaccard]) distinct.
+
+    The operator reads the text column EXACTLY ONCE: a persisted base
+    frame carries (id, digest, shingle array) out of one scan; the
+    adaptive q-check action materializes it, and the signature groupBy
+    and Jaccard-verify joins both re-explode the cached shingle arrays
+    instead of re-scanning and re-tokenizing the corpus (at 100 TB the
+    text scan IS the dominant cost — it must not run once per consumer)."""
+    base = _persisted(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalized_text(F.col(text_col))).alias("__dig"),
+            word_shingles(F.col(text_col), shingle_n).alias("__shs"),
+        )
+    )
     members = (
-        _text_members(df, id_col, text_col, min_quadratic=collapse_min_pairs)
+        _members_from_slim(base.select("id", "__dig"), collapse_min_pairs)
         if collapse_exact
         else None
     )
+    sh = base.select("id", F.explode("__shs").alias("sh"))
     rows_per_band = num_hashes // bands
     # signatures are computed for ALL documents (duplicate copies combine
     # map-side in the shingle groupBy — linear work, and the fat text
     # column never shuffles for the collapse); only REPRESENTATIVES enter
     # the banded join via a slim semi-join on id.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = _sigs_from_shingles(sh, num_hashes)
     if members is not None:
         sigs = sigs.join(
             members.where(F.col("id") == F.col("rep")).select("id"), "id", "leftsemi"
@@ -428,7 +462,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if verify:
-        sh = _shingle_table(df, id_col, text_col, shingle_n, persist=True)
+        # same cached shingle stream as the signature pass — no re-scan
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
         common = (
             cand.join(sh.alias("sa"), cand["id_a"] == F.col("sa.id"))
@@ -480,7 +514,13 @@ def simhash(
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
+    )
+    return _simhash_from_tokens(toks, bits)
+
+
+def _simhash_from_tokens(toks: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash off a prebuilt (id, tok) token stream."""
+    toks = toks.withColumn("th", F.xxhash64("tok"))
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -528,13 +568,27 @@ def simhash_near_pairs(
 
     group_form=True returns (rep_id, member_id, hamming) — linear in
     duplicate-cluster size with the identical distinct drop set; see
-    minhash_lsh_pairs/_group_form_output."""
+    minhash_lsh_pairs/_group_form_output.
+
+    Like minhash_lsh_pairs, the text column is read EXACTLY ONCE: a
+    persisted (id, digest, token array) base comes out of one scan; the
+    q-check action materializes it and the simhash vote groupBy explodes
+    the cached token arrays."""
+    base = _persisted(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalized_text(F.col(text_col))).alias("__dig"),
+            F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
+        )
+    )
     members = (
-        _text_members(df, id_col, text_col, min_quadratic=collapse_min_pairs)
+        _members_from_slim(base.select("id", "__dig"), collapse_min_pairs)
         if collapse_exact
         else None
     )
-    sigs = simhash(df, id_col, text_col)
+    sigs = _simhash_from_tokens(
+        base.select("id", F.explode("__toks").alias("tok"))
+    )
     if members is not None:
         sigs = sigs.join(
             members.where(F.col("id") == F.col("rep")).select("id"), "id", "leftsemi"
