@@ -66,6 +66,11 @@ def test_decomposition_algebra(tmp_path, monkeypatch):
     for p, eff in zip(d, s["eff_pairs_interleaved"]):
         assert abs(p["work_ratio"] * (p["packing_4N"] / p["packing_N"]) - eff) < 0.01
     assert s["eff_engine_median"] == sorted(p["eff_engine"] for p in d)[1]
+    # least-contended estimate: min cpu over ALL samples per width with
+    # that run's packing — N: 186 (pack 0.95), 4N: 182 (pack 0.92)
+    assert s["work_best"]["cpu_ratio"] == round(186.0 / 182.0, 3)
+    assert s["work_best"]["cpu_max_4N"] == 208.0
+    assert s["eff_engine_best"] == round((186.0 / 182.0) * (0.92 / 0.95), 3)
     assert s["bw_ceiling"] == 0.9
     md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
     assert "eff_engine" in md and "bandwidth-bound sweep" in md
@@ -127,3 +132,32 @@ def test_verdict_lines_three_outcomes():
     # no decomposition available -> still an honest fail, no crash
     fail2 = "\n".join(B._verdict_lines(0.6, 0.62, None, 0.96, None))
     assert "no task-metric decomposition" in fail2
+
+
+def test_verdict_least_contended_branch():
+    """Wall median AND engine median below the gate, but the min-CPU
+    estimate clears it: the verdict must make the engine case with the
+    CPU-spread evidence; the same stats with a failing min-CPU estimate
+    must stay an honest FAIL."""
+    wb = {
+        "cpu_ratio": 0.915,
+        "cpu_min_N": 264.8,
+        "cpu_max_N": 824.5,
+        "cpu_min_4N": 289.3,
+        "cpu_max_4N": 3281.8,
+        "packing_N": 0.988,
+        "packing_4N": 0.942,
+        "n_N": 27,
+        "n_4N": 27,
+    }
+    txt = "\n".join(B._verdict_lines(0.725, 0.749, 0.73, 0.963, 0.913, 0.873, wb))
+    assert "least-contended decomposition clears it" in txt
+    assert "0.873" in txt and "11.3x" in txt
+    assert "indistinguishable" in txt  # |0.915 - 0.913| < 0.03
+
+    fail = "\n".join(B._verdict_lines(0.6, 0.62, 0.7, 0.96, 0.91, 0.75, wb))
+    assert "**FAIL**" in fail
+
+    # engine-median pass takes priority over the min-CPU branch
+    med = "\n".join(B._verdict_lines(0.74, 0.75, 0.86, 0.96, 0.91, 0.9, wb))
+    assert "the ENGINE clears it" in med
