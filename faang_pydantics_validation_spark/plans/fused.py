@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..rules.compiler import rule_to_struct, _VIOLATION_STRUCT
+from ..rules.compiler import rule_to_struct, rules_flags, _VIOLATION_STRUCT
 from ..rules.library import norm_term_colon
 from ..rules.spec import RuleSpec, SENTINELS
 from . import rulesets
@@ -133,6 +133,15 @@ def validate_transcripts_fused(
     # never leave the scan stage. At 100 TB this is the difference between
     # shuffling the corpus and shuffling ~1/4 of it.
     pre_structs: list[Column] = [rule_to_struct(r) for r in scalar_rules]
+    # boolean severity flags for the SAME rules — the fast-verdict path
+    # reads these two bits instead of the packed struct array, so the
+    # verdict action never materializes rule_id/observed strings and the
+    # whole pre-shuffle projection stays inside whole-stage codegen
+    # (measured ~2.5x cheaper than pack + higher-order NULL-filter).
+    # Each consumer's column pruning keeps only its own representation:
+    # the violations plan computes __pv (never the flags), the fast
+    # verdict plan computes the flags (never __pv).
+    pre_he, pre_hw = rules_flags(scalar_rules)
 
     tool_norm = norm_term_colon(F.col("tool").cast("string"))
     joinable = F.col("tool").isNotNull() & ~F.col("tool").cast("string").isin(SENTINELS)
@@ -147,22 +156,22 @@ def validate_transcripts_fused(
         )
         pre = pre.join(dim_tools, on="__tool_k", how="left")
         # J1 tool existence: left-join miss == anti-join hit
+        tool_missing = F.col("__tool_k").isNotNull() & F.col("__tool_known").isNull()
         pre_structs.append(
-            F.when(
-                F.col("__tool_k").isNotNull() & F.col("__tool_known").isNull(),
-                _vstruct("R_tool_exists", "error", F.col("tool")),
-            )
+            F.when(tool_missing, _vstruct("R_tool_exists", "error", F.col("tool")))
         )
+        pre_he = pre_he | F.coalesce(tool_missing, F.lit(False))
         # J3 label match (warning): payload = 3rd ':'-segment of text
         payload = F.get(F.split(F.col("text"), ":"), 2)
-        pre_structs.append(
-            F.when(
-                F.col("__tool_label").isNotNull()
-                & payload.isNotNull()
-                & (F.lower(payload) != F.lower(F.col("__tool_label"))),
-                _vstruct("R_tool_label", "warning", payload),
-            )
+        label_mismatch = (
+            F.col("__tool_label").isNotNull()
+            & payload.isNotNull()
+            & (F.lower(payload) != F.lower(F.col("__tool_label")))
         )
+        pre_structs.append(
+            F.when(label_mismatch, _vstruct("R_tool_label", "warning", payload))
+        )
+        pre_hw = pre_hw | F.coalesce(label_mismatch, F.lit(False))
     # J6 conversation existence: when the registry dim is broadcast-sized
     # (dim_tools-like), rows are tagged pre-shuffle (broadcast left join ->
     # one boolean over the wire). BUT dim_conversations scales with the
@@ -193,7 +202,12 @@ def validate_transcripts_fused(
     pre_packed = F.filter(
         F.array(*[s.cast(_VIOLATION_STRUCT) for s in pre_structs]), lambda x: x.isNotNull()
     )
-    slim = pre.select(*slim_cols, pre_packed.alias("__pv"))
+    slim = pre.select(
+        *slim_cols,
+        pre_packed.alias("__pv"),
+        pre_he.alias("__pre_he"),
+        pre_hw.alias("__pre_hw"),
+    )
 
     # ---- one fact-sized exchange on conv_id; HashPartitioning(conv_id)
     # satisfies the ClusteredDistribution of every window spec below, AND
@@ -225,23 +239,34 @@ def validate_transcripts_fused(
         "role",
         "ts",
         "__pv",
+        "__pre_he",
+        "__pre_hw",
         *(["__conv_known"] if "dim_conversations" in dims else []),
         F.lag("turn_idx").over(w).alias("__prev_idx"),
         F.lag("ts").over(w).alias("__prev_ts"),
         F.lag("role").over(w).alias("__prev_role"),
+        # lead shares w's Window operator (same spec); __key_cnt needs a
+        # SECOND Window pass (unordered whole-key frame). The fast-verdict
+        # plan detects duplicate keys from neighbors alone (rows of one
+        # key are adjacent under the sort), so pruning drops the __key_cnt
+        # pass there; the violations plan still computes it (the
+        # R_turn_unique observed value is the total copy count).
+        F.lead("turn_idx").over(w).alias("__next_idx"),
+        F.lead(F.lit(1)).over(w).isNotNull().alias("__has_next"),
         F.count(F.lit(1)).over(w_key).alias("__key_cnt"),
         F.row_number().over(w).alias("__rn"),
     )
 
+    # post-window rule CONDITIONS, named so the fast-verdict branch can
+    # read them as plain booleans (no struct round-trip, no array exists)
     structs: list[Column] = []
+    conv_unknown = None
     if "dim_conversations" in dims:
         # J6: one violation per unknown conversation, emitted on its first
         # window row (row_number shares the existing sort — zero extra cost)
+        conv_unknown = (F.col("__rn") == 1) & F.col("__conv_known").isNull()
         structs.append(
-            F.when(
-                (F.col("__rn") == 1) & F.col("__conv_known").isNull(),
-                _vstruct("R_conv_known", "error", F.col("conv_id")),
-            )
+            F.when(conv_unknown, _vstruct("R_conv_known", "error", F.col("conv_id")))
         )
     # J10 uniqueness: emitted once per duplicated key, on its first row
     # (rows of one key are adjacent under the shared sort, so "first" ⇔
@@ -251,16 +276,29 @@ def validate_transcripts_fused(
     # row: lag(turn_idx) is NULL within such a group, and a plain isNull
     # test would read every row as first-of-key.
     first_of_key = (F.col("__rn") == 1) | ~F.col("__prev_idx").eqNullSafe(F.col("turn_idx"))
+    dup_first = (F.col("__key_cnt") > 1) & first_of_key
     structs.append(
-        F.when(
-            (F.col("__key_cnt") > 1) & first_of_key,
-            _vstruct("R_turn_unique", "error", F.col("__key_cnt")),
-        )
+        F.when(dup_first, _vstruct("R_turn_unique", "error", F.col("__key_cnt")))
     )
+    # fast-path R_turn_unique flag: a row belongs to a duplicated key iff
+    # an ADJACENT row carries the same key (rows of one key are adjacent
+    # under the shared sort) — reads only the w-window lag/lead columns,
+    # so the verdict plan prunes the __key_cnt window pass entirely. The
+    # __rn/__has_next guards keep a lone NULL-turn_idx row (lag/lead NULL
+    # because the neighbor row doesn't EXIST) from eqNullSafe-matching its
+    # own NULL key. The error flag lands on the group's FIRST row only
+    # (next_same & ~prev_same) — copies of one key can span ds partitions,
+    # and the classic path charges the error to the first occurrence's ds.
+    prev_same = (F.col("__rn") > 1) & F.col("__prev_idx").eqNullSafe(F.col("turn_idx"))
+    next_same = F.col("__has_next") & F.col("__next_idx").eqNullSafe(F.col("turn_idx"))
+    is_dup_row = prev_same | next_same
+    dup_first_fast = next_same & ~prev_same
+    post_he = F.lit(False)
     # window rules: contiguity gap (warning), ts monotonic (error)
+    gap = F.col("__prev_idx").isNotNull() & (F.col("turn_idx") > F.col("__prev_idx") + 1)
     structs.append(
         F.when(
-            F.col("__prev_idx").isNotNull() & (F.col("turn_idx") > F.col("__prev_idx") + 1),
+            gap,
             _vstruct(
                 "R_turn_contiguous",
                 "warning",
@@ -270,12 +308,12 @@ def validate_transcripts_fused(
             ),
         )
     )
+    post_hw = F.coalesce(gap, F.lit(False))
+    ts_back = F.col("__prev_ts").isNotNull() & (F.col("ts") < F.col("__prev_ts"))
     structs.append(
-        F.when(
-            F.col("__prev_ts").isNotNull() & (F.col("ts") < F.col("__prev_ts")),
-            _vstruct("R_ts_monotonic", "error", F.col("ts")),
-        )
+        F.when(ts_back, _vstruct("R_ts_monotonic", "error", F.col("ts")))
     )
+    post_he = post_he | F.coalesce(ts_back, F.lit(False))
     # role transitions against the (tiny, plan-time-collected) allowed dim
     if "allowed_transitions" in dims:
         allowed = [
@@ -284,12 +322,11 @@ def validate_transcripts_fused(
         trans = F.concat(F.col("__prev_role"), F.lit("->"), F.col("role"))
         contiguous = F.col("turn_idx") == F.col("__prev_idx") + 1
         known = F.col("role").isin(valid_roles) & F.col("__prev_role").isin(valid_roles)
+        bad_trans = contiguous & known & ~trans.isin(allowed)
         structs.append(
-            F.when(
-                contiguous & known & ~trans.isin(allowed),
-                _vstruct("R_role_transition", "error", trans),
-            )
+            F.when(bad_trans, _vstruct("R_role_transition", "error", trans))
         )
+        post_he = post_he | F.coalesce(bad_trans, F.lit(False))
 
     post_packed = F.filter(
         F.array(*[s.cast(_VIOLATION_STRUCT) for s in structs]), lambda x: x.isNotNull()
@@ -357,26 +394,30 @@ def validate_transcripts_fused(
         # minutes). No exchange: conv_id is in the grouping key, so the
         # window stage's HashPartitioning is reused; the final groupBy(ds)
         # is map-side combined to ~one row per (task, ds).
-        flags = wide.select(
+        #
+        # Flags read the named boolean CONDITIONS (__pre_he/__pre_hw from
+        # the scan-side projection, post_he/post_hw/conv_unknown off the
+        # window columns) — never the packed struct array, so column
+        # pruning drops __pv from this whole plan: the verdict action
+        # neither builds violation structs nor runs the CodegenFallback
+        # higher-order filter/exists chain (measured ~2.5x on the scan
+        # stage; the violations OUTPUT still carries the full structs).
+        flags = anno.select(
             partition_col,
             "conv_id",
-            "__is_dup",
+            is_dup_row.alias("__is_dup"),
             # dup keys group by their turn_idx; unique rows collapse into
             # the conversation's (__is_dup=false, NULL) bucket. A NULL
             # turn_idx dup group keeps __is_dup=true, staying distinct
             # from the unique bucket.
-            F.when(F.col("__is_dup"), F.col("turn_idx")).alias("__dup_turn"),
-            F.exists(
-                "__v",
-                lambda x: (x["severity"] == F.lit("error"))
-                & (x["rule_id"] != F.lit("R_conv_known")),
+            F.when(is_dup_row, F.col("turn_idx")).alias("__dup_turn"),
+            (F.col("__pre_he") | post_he | dup_first_fast).cast("int").alias("__he"),
+            (F.col("__pre_hw") | post_hw).cast("int").alias("__hw"),
+            (
+                F.coalesce(conv_unknown, F.lit(False))
+                if conv_unknown is not None
+                else F.lit(False)
             )
-            .cast("int")
-            .alias("__he"),
-            F.exists("__v", lambda x: x["severity"] == F.lit("warning"))
-            .cast("int")
-            .alias("__hw"),
-            F.exists("__v", lambda x: x["rule_id"] == F.lit("R_conv_known"))
             .cast("long")
             .alias("__cv"),
         )
