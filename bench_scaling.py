@@ -27,15 +27,17 @@ import zipfile
 REPO = os.path.dirname(os.path.abspath(__file__))
 PKG = "faang_pydantics_validation_spark"
 DATA = os.path.join(REPO, "data", "scaling_transcripts")
-# ~29M turns under the 13-rule production suite: each timed run carries a
+# ~43M turns under the 13-rule production suite: each timed run carries a
 # ~4-5s width-independent residue (dim broadcast builds, stage-boundary
 # driver coordination, the final verdict collect — all constant at 10^12
-# turns where one plan serves hours of execution). At ~150s/50s per
-# local[2]/local[8] run that residue costs <=3 efficiency points; the
+# turns where one plan serves hours of execution). Sized so the WIDE leg
+# stays >= ~50s — there the residue costs <=3 efficiency points (the
 # 19M-turn round-5a dataset put the local[8] leg at ~33s where the same
-# residue alone ate ~10 points. Sized so 9 interleaved best-of-3 pairs
-# still fit in under two hours.
-SCALING_GEN_KWARGS = dict(n_convs=1000000, base_turns=20, hot_mult=25, seed=42, n_days=4)
+# residue alone ate ~10 points). Re-sized up from 29M after the
+# boolean-flag fast-verdict plan cut per-turn cost ~40%, which would have
+# pushed the wide leg back into the residue-dominated zone. 9 interleaved
+# best-of-3 pairs still fit in under two hours.
+SCALING_GEN_KWARGS = dict(n_convs=1500000, base_turns=20, hot_mult=25, seed=42, n_days=4)
 # N vs 4N on a SHARED 32-vCPU VM: 2 vs 8 is the cleanest pair — both
 # levels stay below the box's memory-bandwidth saturation, so the ratio
 # measures the ENGINE's scaling, not the host's bandwidth ceiling. The
