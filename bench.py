@@ -60,6 +60,7 @@ def ensure_bench_transcripts(spark) -> str:
 
 
 def main() -> None:
+    _repo = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -130,11 +131,20 @@ def main() -> None:
                 "cores": cpus,
                 **(
                     {"scaling": json.load(open(_sc))}
-                    if os.path.exists(
-                        _sc := os.path.join(
-                            os.path.dirname(os.path.abspath(__file__)),
-                            "data",
-                            "scaling_summary.json",
+                    if (
+                        _sc := next(
+                            (
+                                p
+                                for p in (
+                                    # data/ copy is fresher mid-session;
+                                    # BENCH/ copy is committed and survives
+                                    # data/ wipes between sessions
+                                    os.path.join(_repo, "data", "scaling_summary.json"),
+                                    os.path.join(_repo, "BENCH", "scaling_summary.json"),
+                                )
+                                if os.path.exists(p)
+                            ),
+                            None,
                         )
                     )
                     else {}

@@ -556,31 +556,36 @@ def summarize(
         json.dumps(results, indent=1),
         "```",
     ]
-    with open(os.path.join(REPO, "data", "scaling_summary.json"), "w") as f:
-        json.dump(
-            {
-                "eff_best": round(eff_best, 3),
-                "eff_median": round(eff_med, 3),
-                "eff_trimmed_mean": eff_trimmed,
-                "eff_pairs_interleaved": eff_pairs,
-                "eff_pair_best": max(eff_pairs),
-                "eff_pair_median": eff_pair_median,
-                "eff_engine_median": eff_engine_median,
-                "eff_engine_best": eff_engine_best,
-                "work_best": work_best,
-                "decomposition": decomp,
-                "eff_spread": eff_spread,
-                "hw_ceiling": round(hw_eff, 3),
-                "bw_ceiling": bw_eff,
-                "thr_N_best": best[N],
-                "thr_4N_best": best[N4],
-                "N": N,
-                "N4": N4,
-                "n_turns": n_turns,
-            },
-            f,
-        )
+    summary_payload = {
+        "eff_best": round(eff_best, 3),
+        "eff_median": round(eff_med, 3),
+        "eff_trimmed_mean": eff_trimmed,
+        "eff_pairs_interleaved": eff_pairs,
+        "eff_pair_best": max(eff_pairs),
+        "eff_pair_median": eff_pair_median,
+        "eff_engine_median": eff_engine_median,
+        "eff_engine_best": eff_engine_best,
+        "work_best": work_best,
+        "decomposition": decomp,
+        "eff_spread": eff_spread,
+        "hw_ceiling": round(hw_eff, 3),
+        "bw_ceiling": bw_eff,
+        "thr_N_best": best[N],
+        "thr_4N_best": best[N4],
+        "N": N,
+        "N4": N4,
+        "n_turns": n_turns,
+    }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # data/ is gitignored and wiped between sessions; the committed BENCH/
+    # copy keeps bench.py's embedded scaling block from silently vanishing
+    for p in (
+        os.path.join(REPO, "data", "scaling_summary.json"),
+        os.path.join(REPO, "BENCH", "scaling_summary.json"),
+    ):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(summary_payload, f)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(
