@@ -132,19 +132,21 @@ def main() -> None:
                 **(
                     {"scaling": json.load(open(_sc))}
                     if (
-                        _sc := next(
+                        # data/ copy appears mid-session, BENCH/ copy is
+                        # committed and survives data/ wipes — pick by
+                        # mtime so a stale leftover local artifact never
+                        # shadows newer committed evidence
+                        _sc := max(
                             (
                                 p
                                 for p in (
-                                    # data/ copy is fresher mid-session;
-                                    # BENCH/ copy is committed and survives
-                                    # data/ wipes between sessions
                                     os.path.join(_repo, "data", "scaling_summary.json"),
                                     os.path.join(_repo, "BENCH", "scaling_summary.json"),
                                 )
                                 if os.path.exists(p)
                             ),
-                            None,
+                            key=os.path.getmtime,
+                            default=None,
                         )
                     )
                     else {}

@@ -234,7 +234,8 @@ def _min_cpu_sample(runs: list[dict]) -> tuple | None:
         cps = r.get("cpu_secs") or []
         pks = r.get("packing") or []
         for c, p in zip(cps, pks):
-            samples.append((c, p))
+            if c is not None and p is not None:  # failed/desynced REST poll
+                samples.append((c, p))
     if not samples:
         return None
     cmin, pmin = min(samples)
@@ -294,9 +295,14 @@ def _verdict_lines(
             if bw_eff is not None and abs(cr - bw_eff) < 0.03
             else ""
         )
+        em = (
+            f"{eff_engine_median:.3f}"
+            if eff_engine_median is not None
+            else "n/a (no complete per-pair metrics)"
+        )
         lines += [
             f"**Wall-clock median {eff_pair_median:.3f} and engine median "
-            f"{eff_engine_median} miss the gate; the least-contended "
+            f"{em} miss the gate; the least-contended "
             f"decomposition clears it**: eff_engine(min-CPU) = "
             f"**{eff_engine_best:.3f}** (>= 0.8), with an intrinsic "
             f"CPU-work ratio of {cr:.3f}{bw_note}. The timed job is "

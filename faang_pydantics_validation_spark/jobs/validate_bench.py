@@ -104,7 +104,15 @@ def main() -> None:
     verdict_rows = []
     task_secs, cpu_secs, gc_secs, packing = [], [], [], []
     appid = spark.sparkContext.applicationId
-    last_stage = _stage_stats(appid, -1)["max_id"]
+    try:
+        last_stage = _stage_stats(appid, -1)["max_id"]
+        synced = True
+    except Exception:
+        # metrics are evidence, never a reason to fail the run; without a
+        # baseline the first window would include warmup stages, so the
+        # first run's metrics are dropped (None) and the next successful
+        # poll resynchronizes.
+        last_stage, synced = -1, False
     for _ in range(repeats):
         tp = time.time()
         if mode == "classic":
@@ -123,17 +131,25 @@ def main() -> None:
             verdict_rows = res.verdicts.collect()
         wall = time.time() - t0
         runs.append(round(wall, 3))
+        # A failed poll appends None placeholders so the metric lists stay
+        # INDEX-ALIGNED with runs_sec (a silent skip would misattribute
+        # every later run's metrics), and marks the window desynced: the
+        # next successful poll spans TWO runs' stages, so its sums are
+        # contaminated and recorded as None too — it only resynchronizes
+        # last_stage. Summary code treats None as "no metrics for this
+        # run" per sample, never per JVM.
         try:
             st = _stage_stats(appid, last_stage)
-            last_stage = st["max_id"]
-            task_secs.append(st["task"])
-            cpu_secs.append(st["cpu"])
-            gc_secs.append(st["gc"])
-            # fraction of the run's available core-seconds spent inside
-            # tasks — scheduling/straggler loss lives in the gap to 1.0
-            packing.append(round(st["task"] / (cores * wall), 3))
+            ok = synced
+            last_stage, synced = st["max_id"], True
         except Exception:
-            pass  # metrics are evidence, never a reason to fail the run
+            st, ok, synced = None, False, False
+        task_secs.append(st["task"] if ok else None)
+        cpu_secs.append(st["cpu"] if ok else None)
+        gc_secs.append(st["gc"] if ok else None)
+        # fraction of the run's available core-seconds spent inside
+        # tasks — scheduling/straggler loss lives in the gap to 1.0
+        packing.append(round(st["task"] / (cores * wall), 3) if ok else None)
     # sanity signal at zero extra cost (violation ROW count would re-run
     # the suite; the turn-level totals from the collected verdicts are the
     # same evidence that rules actually fired)

@@ -61,24 +61,52 @@ def normalized_text(text: Column) -> Column:
 # can release exactly the caches THEIR pipeline created (cache_mark before,
 # release_caches(mark) after) instead of nuking the whole session with
 # spark.catalog.clearCache().
+#
+# Marks and cache entries share one monotonically increasing sequence, so
+# releasing mark M unpersists only entries registered in [M, next live
+# mark) — a pipeline whose scope is still open keeps its caches even when
+# an OLDER overlapping scope releases first, and its own later release
+# still works (marks are identities, not positions that shift).
 
-_CACHES: list[DataFrame] = []
+import threading as _threading
+
+_REG_LOCK = _threading.Lock()
+_REG_SEQ = [0]  # next sequence id, shared by marks and cache entries
+_CACHES: list[tuple[int, DataFrame]] = []  # (seq, df)
+_LIVE_MARKS: list[int] = []
+
+
+def _next_seq() -> int:
+    with _REG_LOCK:
+        _REG_SEQ[0] += 1
+        return _REG_SEQ[0]
 
 
 def cache_mark() -> int:
-    """Position in the internal cache registry — pass to release_caches to
-    scope the release to caches created after this point."""
-    return len(_CACHES)
+    """Open a release scope: returns a mark identifying every operator
+    cache registered from now until the scope's release_caches(mark).
+    Scopes may overlap; entries registered after a LATER still-open mark
+    belong to that later scope."""
+    m = _next_seq()
+    with _REG_LOCK:
+        _LIVE_MARKS.append(m)
+    return m
 
 
 def release_caches(mark: int = 0) -> None:
-    """Unpersist every operator-internal cache registered at or after
-    `mark` (default: all of them) and drop them from the registry. Call
-    AFTER consuming the operator's output — the returned DataFrames
-    lazily reference these caches."""
-    for df in _CACHES[mark:]:
+    """Unpersist the operator-internal caches registered in this mark's
+    scope — from `mark` up to the next still-open mark (default 0: every
+    cache not claimed by an open scope) — and drop them from the
+    registry. Call AFTER consuming the operator's output — the returned
+    DataFrames lazily reference these caches."""
+    with _REG_LOCK:
+        later = [m for m in _LIVE_MARKS if m > mark]
+        bound = min(later) if later else float("inf")
+        drop = [(s, df) for s, df in _CACHES if mark <= s < bound]
+        _CACHES[:] = [e for e in _CACHES if not (mark <= e[0] < bound)]
+        _LIVE_MARKS[:] = [m for m in _LIVE_MARKS if m != mark]
+    for _, df in drop:
         df.unpersist()
-    del _CACHES[mark:]
 
 
 def exact_duplicates(
@@ -176,7 +204,9 @@ def _persisted(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _CACHES.append(df)
+    with _REG_LOCK:
+        _REG_SEQ[0] += 1
+        _CACHES.append((_REG_SEQ[0], df))
     return df
 
 
@@ -219,7 +249,8 @@ def _members_from_slim(slim: DataFrame, min_quadratic: int = 0) -> DataFrame | N
     ) or 0
     if q <= min_quadratic:
         groups.unpersist()
-        _CACHES.remove(groups)
+        with _REG_LOCK:
+            _CACHES[:] = [e for e in _CACHES if e[1] is not groups]
         return None
     return _persisted(slim.join(groups, "__dig").select("rep", "id"))
 

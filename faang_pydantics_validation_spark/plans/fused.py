@@ -335,7 +335,6 @@ def validate_transcripts_fused(
         "conv_id",
         "turn_idx",
         partition_col,
-        (F.col("__key_cnt") > 1).alias("__is_dup"),
         F.concat(F.col("__pv"), post_packed).alias("__v"),
     )
 
@@ -384,8 +383,8 @@ def validate_transcripts_fused(
         # like the classic per_turn aggregation — duplicated keys whose
         # copies BOTH violate count once per (ds, key) — but WITHOUT a
         # fact-sized (ds, conv, turn) hash aggregate: unique keys (the
-        # overwhelming majority; __key_cnt came free off the shared
-        # window) are exact at ROW grain, so they collapse per
+        # overwhelming majority; is_dup_row reads only the shared
+        # window's lag/lead neighbors) are exact at ROW grain, so they collapse per
         # conversation with sum semantics, while only rows of DUPLICATED
         # keys group at key grain with max semantics. Aggregation state is
         # therefore ~one entry per conversation (+ per actual duplicate

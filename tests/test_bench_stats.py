@@ -161,3 +161,31 @@ def test_verdict_least_contended_branch():
     # engine-median pass takes priority over the min-CPU branch
     med = "\n".join(B._verdict_lines(0.74, 0.75, 0.86, 0.96, 0.91, 0.9, wb))
     assert "the ENGINE clears it" in med
+
+
+def test_summarize_tolerates_failed_poll_placeholders(tmp_path, monkeypatch):
+    """A failed/desynced REST poll records None placeholders (index-
+    aligned with runs_sec — validate_bench.py). The summarizer must skip
+    those samples without crashing or misattributing: a pair whose best
+    run lost its metrics drops out of the decomposition, and the min-CPU
+    estimate ignores None samples."""
+    monkeypatch.setattr(B, "REPO", str(tmp_path))
+    (tmp_path / "data").mkdir()
+    res = {
+        2: [
+            # best wall is run 2 whose poll failed -> pair 1 undecomposable
+            _run(2, [110.0, 100.0], task=[200.0, None], cpu=[196.0, None], packing=[0.91, None]),
+            _run(2, [100.0, 105.0], task=[192.0, 195.0], cpu=[190.0, 191.0], packing=[0.96, 0.93]),
+        ],
+        8: [
+            _run(8, [30.0, 35.0], task=[204.0, 230.0], cpu=[188.0, 200.0], packing=[0.85, 0.82]),
+            _run(8, [25.0, 26.0], task=[184.0, 186.0], cpu=[182.0, 183.0], packing=[0.92, 0.89]),
+        ],
+    }
+    B.summarize(res, hw_eff=0.95, repeats=2, bw_eff=0.9)
+    s = json.load(open(tmp_path / "data" / "scaling_summary.json"))
+    assert [p["pair"] for p in s["decomposition"]] == [2]
+    # min-CPU estimate skips the None sample: N-side min cpu is 190 (not
+    # the lost run), 4N-side 182
+    assert s["work_best"]["cpu_ratio"] == round(190.0 / 182.0, 3)
+    assert s["work_best"]["n_N"] == 3  # 4 samples minus the failed poll

@@ -237,15 +237,39 @@ def test_cache_registry_scoped_release(spark, docs):
     clearCache() regression: a long-lived driver's dims would vanish)."""
     unrelated = spark.createDataFrame([(1,)], "x int").persist()
     unrelated.count()
+    before = len(DD._CACHES)
     mark = DD.cache_mark()
     DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5).count()
-    created = len(DD._CACHES) - mark
-    assert created > 0, "operator should have registered its persists"
-    assert all(df.storageLevel.useMemory for df in DD._CACHES[mark:])
+    created = [(s, df) for s, df in DD._CACHES if s > mark]
+    assert created, "operator should have registered its persists"
+    assert all(df.storageLevel.useMemory for _, df in created)
     DD.release_caches(mark)
-    assert len(DD._CACHES) == mark
+    assert len(DD._CACHES) == before
     assert unrelated.storageLevel.useMemory, "unrelated cache was evicted"
     unrelated.unpersist()
+
+
+def test_cache_registry_overlapping_scopes(spark, docs):
+    """An OLDER scope's release must not evict a still-open later scope's
+    caches (overlapping pipelines in one long-lived driver), and the
+    later scope's own release must still work afterwards — marks are
+    identities, not list positions."""
+    base = len(DD._CACHES)
+    mark_a = DD.cache_mark()
+    DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5).count()
+    mark_b = DD.cache_mark()
+    DD.simhash_near_pairs(docs, max_hamming=3).count()
+    b_caches = [(s, df) for s, df in DD._CACHES if s > mark_b]
+    assert b_caches, "scope B should have registered persists"
+    DD.release_caches(mark_a)  # A closes while B is still open
+    assert all(df.storageLevel.useMemory for _, df in b_caches), (
+        "scope A's release evicted scope B's live caches"
+    )
+    remaining = {s for s, _ in DD._CACHES}
+    assert all(s > mark_b for s in remaining if s > mark_a)
+    DD.release_caches(mark_b)
+    assert len(DD._CACHES) == base
+    assert all(not df.storageLevel.useMemory for _, df in b_caches)
 
 
 def test_band_bucket_cap_prunes_hot_buckets(spark):
