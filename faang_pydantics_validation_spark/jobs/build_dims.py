@@ -31,8 +31,10 @@ validate_cli --dims / serve_http --dims / plans.fused):
 
 Term ids are normalized underscore->colon (P3, validation_utils.py:5-15)
 at BUILD time so the runtime join key is canonical; duplicate term rows
-keep the first label seen (the reference cache's first-write-wins dict
-semantics). Everything is DataFrame-native — the dumps are read with
+keep the FIRST row seen — label, family AND parent edges together (the
+reference cache's first-write-wins dict semantics, implemented with a
+min_by on the file-order id). Everything is DataFrame-native — the dumps
+are read with
 explicit schemas (multiLine JSON), so a registry of 10^8 conversations
 builds the same way the test fixture does.
 """
@@ -62,7 +64,14 @@ def build_tool_dims(spark, terms_path: str, max_depth: int = 12):
     from faang_pydantics_validation_spark.rules.library import norm_term_colon
 
     raw = spark.read.schema(TERMS_SCHEMA).option("multiLine", True).json(terms_path)
-    canon = raw.select(
+    # dump order survives the read: a multiLine JSON array file is
+    # unsplittable (one partition per file), so monotonically_increasing_id
+    # numbers rows in file order — first-write-wins duplicate handling
+    # then matches the reference's dict cache EXACTLY (first row's label,
+    # family AND parent edges; a min()-per-column winner could mix fields
+    # from different duplicate rows and union their edges). Multi-file
+    # dumps order within each file.
+    canon = raw.withColumn("__ord", F.monotonically_increasing_id()).select(
         norm_term_colon(F.trim("term")).alias("tool_id"),
         F.col("label"),
         F.col("family"),
@@ -70,14 +79,19 @@ def build_tool_dims(spark, terms_path: str, max_depth: int = 12):
             F.coalesce(F.col("parents"), F.array().cast("array<string>")),
             lambda p: norm_term_colon(F.trim(p)),
         ).alias("parents"),
+        F.col("__ord"),
     ).where(F.col("tool_id").isNotNull() & (F.col("tool_id") != ""))
-    # one row per term id on duplicates (the reference cache is a dict
-    # keyed by term); min() makes the winner deterministic under any
-    # partitioning of the dump
-    dim_tools = canon.groupBy("tool_id").agg(
-        F.min("label").alias("label"), F.min("family").alias("family")
+    first = (
+        canon.groupBy("tool_id")
+        .agg(
+            F.min_by(
+                F.struct("label", "family", "parents"), F.col("__ord")
+            ).alias("r")
+        )
+        .select("tool_id", "r.label", "r.family", "r.parents")
     )
-    edges = canon.select(
+    dim_tools = first.select("tool_id", "label", "family")
+    edges = first.select(
         F.col("tool_id").alias("child"), F.explode("parents").alias("parent")
     ).where(F.col("parent").isNotNull() & (F.col("parent") != ""))
     # roots (no parent edge) still need a closure row: self-path only
@@ -100,9 +114,19 @@ def build_conversation_dim(spark, conversations_path: str):
         .option("multiLine", True)
         .json(conversations_path)
     )
-    return raw.where(
-        F.col("conv_id").isNotNull() & (F.trim("conv_id") != "")
-    ).dropDuplicates(["conv_id"])
+    # first-write-wins on duplicate conv_ids, like build_tool_dims — a
+    # plain dropDuplicates keeps an arbitrary row
+    return (
+        raw.withColumn("__ord", F.monotonically_increasing_id())
+        .where(F.col("conv_id").isNotNull() & (F.trim("conv_id") != ""))
+        .groupBy("conv_id")
+        .agg(
+            F.min_by(
+                F.struct("expected_roles", "species_tag"), F.col("__ord")
+            ).alias("r")
+        )
+        .select("conv_id", "r.expected_roles", "r.species_tag")
+    )
 
 
 def build_dims(

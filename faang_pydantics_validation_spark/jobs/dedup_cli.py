@@ -68,70 +68,84 @@ def run_dedup_pipeline(
 
     stages = []
     cache_mark = DD.cache_mark()  # scope cleanup to THIS pipeline's caches
-    n0 = docs.count()
+    persisted_survivors = None
 
-    # 1. exact: keep each digest group's smallest id (the keep_id
-    # survivor). Semi-join on the survivor ids keeps original columns.
-    keep_ids = DD.exact_duplicates(docs, text_col=text_col, id_col=id_col).select(
-        F.col("keep_id").alias(id_col)
-    )
-    survivors = docs.join(keep_ids, on=id_col, how="leftsemi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n1 = survivors.count()
-    stages.append({"stage": "exact_dedup", "in": n0, "kept": n1})
-
-    # 2. near-dup over survivors only. collapse_exact=False: stage 1
-    # already collapsed by the SAME md5(normalized_text) digest, so every
-    # internal collapse group over `survivors` would be a singleton — the
-    # extra digest shuffle/persist would be pure overhead. group_form=True:
-    # the drop set reads off the linear (rep_id, member_id) edges instead
-    # of exploded pairs, so a pathological near-dup flood that survives
-    # exact dedup cannot blow up the intermediate cardinality. The
-    # max_bucket hot-bucket cap stays on too.
-    n2 = n1
-    if not skip_neardup:
-        edges = DD.minhash_lsh_pairs(
-            survivors,
-            id_col=id_col,
-            text_col=text_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=threshold,
-            collapse_exact=False,
-            group_form=True,
-        )
-        drop = edges.select(F.col("member_id").alias(id_col)).distinct()
-        survivors = survivors.join(drop, on=id_col, how="left_anti")
-        n2 = survivors.count()
-        stages.append({"stage": "near_dedup_minhash", "in": n1, "kept": n2})
-
-    # 3. quality / language filter (pure Column exprs — one scan)
-    q = TX.quality_features(survivors, text_col=text_col, id_col=id_col).select(
-        id_col, "n_words", "alpha_ratio"
-    )
-    lid = TX.language_id(survivors, text_col=text_col, id_col=id_col).select(
-        id_col, "lang_guess"
-    )
-    keep = q.join(lid, on=id_col).where(
-        (F.col("n_words") >= min_words) & (F.col("alpha_ratio") >= min_alpha_ratio)
-    )
-    if langs:
-        keep = keep.where(F.col("lang_guess").isin(langs))
-    kept = survivors.join(keep.select(id_col), on=id_col, how="leftsemi")
-    n3 = kept.count()
-    stages.append({"stage": "quality_langid_filter", "in": n2, "kept": n3})
-
-    def cleanup() -> None:
-        # release ONLY this pipeline's caches: the explicit survivors
-        # persist plus the operator-internal ones (shingles, banded
-        # signatures) registered since cache_mark — never the rest of the
-        # session (serve_http dims, test fixtures), which a blanket
-        # spark.catalog.clearCache() would silently evict.
-        survivors.unpersist()
+    def _release() -> None:
+        # `survivors` is rebound by later stages — unpersist the HANDLE
+        # that was actually persisted, then the operator-internal caches
+        # registered since cache_mark.
+        if persisted_survivors is not None:
+            persisted_survivors.unpersist()
         DD.release_caches(cache_mark)
 
-    return {"kept": kept, "stages": stages, "cleanup": cleanup}
+    try:
+        n0 = docs.count()
+
+        # 1. exact: keep each digest group's smallest id (the keep_id
+        # survivor). Semi-join on the survivor ids keeps original columns.
+        keep_ids = DD.exact_duplicates(docs, text_col=text_col, id_col=id_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        survivors = docs.join(keep_ids, on=id_col, how="leftsemi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        persisted_survivors = survivors
+        n1 = survivors.count()
+        stages.append({"stage": "exact_dedup", "in": n0, "kept": n1})
+
+        # 2. near-dup over survivors only. collapse_exact=False: stage 1
+        # already collapsed by the SAME md5(normalized_text) digest, so every
+        # internal collapse group over `survivors` would be a singleton — the
+        # extra digest shuffle/persist would be pure overhead. group_form=True:
+        # the drop set reads off the linear (rep_id, member_id) edges instead
+        # of exploded pairs, so a pathological near-dup flood that survives
+        # exact dedup cannot blow up the intermediate cardinality. The
+        # max_bucket hot-bucket cap stays on too.
+        n2 = n1
+        if not skip_neardup:
+            edges = DD.minhash_lsh_pairs(
+                survivors,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                collapse_exact=False,
+                group_form=True,
+            )
+            drop = edges.select(F.col("member_id").alias(id_col)).distinct()
+            survivors = survivors.join(drop, on=id_col, how="left_anti")
+            n2 = survivors.count()
+            stages.append({"stage": "near_dedup_minhash", "in": n1, "kept": n2})
+
+        # 3. quality / language filter (pure Column exprs — one scan)
+        q = TX.quality_features(survivors, text_col=text_col, id_col=id_col).select(
+            id_col, "n_words", "alpha_ratio"
+        )
+        lid = TX.language_id(survivors, text_col=text_col, id_col=id_col).select(
+            id_col, "lang_guess"
+        )
+        keep = q.join(lid, on=id_col).where(
+            (F.col("n_words") >= min_words) & (F.col("alpha_ratio") >= min_alpha_ratio)
+        )
+        if langs:
+            keep = keep.where(F.col("lang_guess").isin(langs))
+        kept = survivors.join(keep.select(id_col), on=id_col, how="leftsemi")
+        n3 = kept.count()
+        stages.append({"stage": "quality_langid_filter", "in": n2, "kept": n3})
+    except BaseException:
+        # a failed pipeline must not orphan its live mark: an unreleased
+        # mark would permanently block default-scope release_caches(0)
+        # for every cache registered after it in a long-lived driver.
+        _release()
+        raise
+
+    # cleanup releases ONLY this pipeline's caches: the explicit survivors
+    # persist plus the operator-internal ones (shingles, banded signatures)
+    # registered since cache_mark — never the rest of the session
+    # (serve_http dims, test fixtures), which a blanket
+    # spark.catalog.clearCache() would silently evict.
+    return {"kept": kept, "stages": stages, "cleanup": _release}
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -76,19 +76,17 @@ _CACHES: list[tuple[int, DataFrame]] = []  # (seq, df)
 _LIVE_MARKS: list[int] = []
 
 
-def _next_seq() -> int:
-    with _REG_LOCK:
-        _REG_SEQ[0] += 1
-        return _REG_SEQ[0]
-
-
 def cache_mark() -> int:
     """Open a release scope: returns a mark identifying every operator
     cache registered from now until the scope's release_caches(mark).
     Scopes may overlap; entries registered after a LATER still-open mark
-    belong to that later scope."""
-    m = _next_seq()
+    belong to that later scope. Allocation and registration happen in ONE
+    critical section: a mark that existed-but-wasn't-live would let a
+    concurrent release_caches on an older mark compute its upper bound
+    without seeing this scope and free caches that belong to it."""
     with _REG_LOCK:
+        _REG_SEQ[0] += 1
+        m = _REG_SEQ[0]
         _LIVE_MARKS.append(m)
     return m
 
@@ -228,7 +226,10 @@ def _members_from_slim(slim: DataFrame, min_quadratic: int = 0) -> DataFrame | N
     re-expansion joins) costs. The decision is ONE metadata-sized
     aggregate over the already-shuffled slim (digest, id) pairs; callers
     treat None exactly like collapse_exact=False (output is
-    value-identical either way — the collapse is a plan optimization).
+    value-identical either way — the collapse is a plan optimization;
+    this holds under a finite max_bucket too because _bucket_cap counts
+    DISTINCT digest variants, not raw copies, so duplicate mass cannot
+    push a bucket over the cap only on the uncollapsed path).
     min_quadratic=0 engages the collapse whenever ANY duplicate exists.
 
     The eager q-check action is how the banded operators get their ONE
@@ -341,7 +342,12 @@ def _group_form_output(
     return intra.unionByName(inter)
 
 
-def _bucket_cap(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+def _bucket_cap(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+    occupancy_col: str | None = None,
+) -> DataFrame:
     """Drop (band, bucket) groups holding more than max_bucket documents
     before the banded self-join — the banded-join analog of ngram's
     max_df stop-shingle cap, bounding candidate blowup from NEAR-identical
@@ -352,12 +358,28 @@ def _bucket_cap(banded: DataFrame, keys: list[str], max_bucket: int | None) -> D
     handle via the exact/collapse path anyway. Implemented as a map-side-
     combined count of hot buckets (a FEW rows by definition — anything
     over the cap) broadcast anti-joined back: no window sort of the banded
-    stream, no extra fact-sized shuffle."""
+    stream, no extra fact-sized shuffle.
+
+    occupancy_col (a digest-hash column on `banded`): occupancy is
+    count(DISTINCT occupancy_col) — distinct normalized-text variants —
+    instead of raw rows. Identical documents share identical signatures,
+    hence identical bucket memberships, so this makes the cap decision
+    INVARIANT to whether the exact-dup collapse upstream engaged or
+    short-circuited: without it, a bucket sitting just under the cap in
+    representatives could cross it on raw duplicate copies and flip the
+    output pair set with duplicate mass. Spark plans the distinct count
+    as a partial aggregation on (keys, digest) — still map-side combined,
+    no extra fact shuffle."""
     if max_bucket is None:
         return banded
+    occ = (
+        F.count_distinct(F.col(occupancy_col))
+        if occupancy_col
+        else F.count(F.lit(1))
+    )
     hot = (
         banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__bn"))
+        .agg(occ.alias("__bn"))
         .where(F.col("__bn") > max_bucket)
         .select(*keys)
     )
@@ -378,14 +400,19 @@ def minhash_signatures(
     return _sigs_from_shingles(sh, num_hashes)
 
 
-def _sigs_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """MinHash signatures off a prebuilt (id, sh) shingle stream."""
+def _sigs_from_shingles(
+    sh: DataFrame, num_hashes: int, carry: tuple = ()
+) -> DataFrame:
+    """MinHash signatures off a prebuilt (id, sh) shingle stream. `carry`
+    names extra id-functional columns (e.g. the text-digest hash) to ride
+    the groupBy key — free, since id determines them and the partial-agg
+    rows just widen by their width."""
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
     ]
-    wide = sh.groupBy("id").agg(*mins)
+    wide = sh.groupBy("id", *carry).agg(*mins)
     return wide.select(
-        "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+        "id", *carry, F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -432,8 +459,10 @@ def minhash_lsh_pairs(
     metadata-sized agg and the plan degenerates to the plain banded path,
     whose few duplicate candidate pairs cost less than the collapse
     machinery would. 0 forces the collapse on any duplicate. max_bucket
-    then bounds the residual hazard of NEAR-identical floods (see
-    _bucket_cap).
+    then bounds the residual hazard of NEAR-identical floods; its
+    occupancy counts DISTINCT text digests (see _bucket_cap), so the
+    cap's keep/drop decision — and therefore the output pair set — is
+    identical whether the collapse engaged or short-circuited.
 
     Output: (id_a, id_b[, jaccard]) distinct.
 
@@ -455,19 +484,25 @@ def minhash_lsh_pairs(
         if collapse_exact
         else None
     )
-    sh = base.select("id", F.explode("__shs").alias("sh"))
+    sh = base.select(
+        "id", F.xxhash64("__dig").alias("__dg"), F.explode("__shs").alias("sh")
+    )
     rows_per_band = num_hashes // bands
     # signatures are computed for ALL documents (duplicate copies combine
     # map-side in the shingle groupBy — linear work, and the fat text
     # column never shuffles for the collapse); only REPRESENTATIVES enter
-    # the banded join via a slim semi-join on id.
-    sigs = _sigs_from_shingles(sh, num_hashes)
+    # the banded join via a slim semi-join on id. The 8-byte digest hash
+    # __dg rides the groupBy key into the banded frame so the hot-bucket
+    # cap can count DISTINCT text variants — occupancy then reads the
+    # same whether the collapse engaged or short-circuited.
+    sigs = _sigs_from_shingles(sh, num_hashes, carry=("__dg",))
     if members is not None:
         sigs = sigs.join(
             members.where(F.col("id") == F.col("rep")).select("id"), "id", "leftsemi"
         )
     banded = sigs.select(
         "id",
+        "__dg",
         F.explode(
             F.array(
                 *[
@@ -481,10 +516,10 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    ).select("id", "__dg", "bb.band", "bb.bh")
     # slim, consumed by the hot-bucket count and both self-join sides
     banded = _persisted(banded)
-    banded = _bucket_cap(banded, ["band", "bh"], max_bucket)
+    banded = _bucket_cap(banded, ["band", "bh"], max_bucket, occupancy_col="__dg")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bh"], how="inner")
@@ -549,10 +584,13 @@ def simhash(
     return _simhash_from_tokens(toks, bits)
 
 
-def _simhash_from_tokens(toks: DataFrame, bits: int = 64) -> DataFrame:
-    """SimHash off a prebuilt (id, tok) token stream."""
+def _simhash_from_tokens(
+    toks: DataFrame, bits: int = 64, carry: tuple = ()
+) -> DataFrame:
+    """SimHash off a prebuilt (id, tok) token stream. `carry` as in
+    _sigs_from_shingles."""
     toks = toks.withColumn("th", F.xxhash64("tok"))
-    votes = toks.groupBy("id").agg(
+    votes = toks.groupBy("id", *carry).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -565,7 +603,7 @@ def _simhash_from_tokens(toks: DataFrame, bits: int = 64) -> DataFrame:
         bit = F.when(F.col(f"__b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
-    return votes.select("id", sig.alias("simhash"))
+    return votes.select("id", *carry, sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -617,8 +655,13 @@ def simhash_near_pairs(
         if collapse_exact
         else None
     )
+    # __dg rides the vote groupBy into the banded frame — see
+    # minhash_lsh_pairs: the hot-bucket cap counts distinct text variants.
     sigs = _simhash_from_tokens(
-        base.select("id", F.explode("__toks").alias("tok"))
+        base.select(
+            "id", F.xxhash64("__dig").alias("__dg"), F.explode("__toks").alias("tok")
+        ),
+        carry=("__dg",),
     )
     if members is not None:
         sigs = sigs.join(
@@ -627,6 +670,7 @@ def simhash_near_pairs(
     width = 64 // n_bands
     banded = sigs.select(
         "id",
+        "__dg",
         "simhash",
         F.explode(
             F.array(
@@ -641,9 +685,9 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.chunk")
+    ).select("id", "__dg", "simhash", "bb.band", "bb.chunk")
     banded = _persisted(banded)
-    banded = _bucket_cap(banded, ["band", "chunk"], max_bucket)
+    banded = _bucket_cap(banded, ["band", "chunk"], max_bucket, occupancy_col="__dg")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "chunk"], how="inner")

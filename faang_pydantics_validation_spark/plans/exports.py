@@ -85,8 +85,11 @@ def _py_float_repr(d: Column) -> Column:
     most 17 significant digits + 3 leading fraction zeros, so scale 20
     never rounds. Trailing zeros are trimmed; integral values keep the
     '.0'. NULL in, NULL out (the caller's coalesce falls back to the raw
-    string). Non-finite ('NaN'/'Infinity') and exact zero carry no 'E'
-    and fall through to the plain cast."""
+    string). Non-finite values render as Python's 'nan'/'inf'/'-inf' —
+    Spark's string->double cast ACCEPTS 'NaN'/'Infinity', so try_cast
+    succeeds and the raw-string fallback never fires; without the
+    explicit branches the Java spellings would leak into the export.
+    Exact zero carries no 'E' and falls through to the plain cast."""
     absd = F.abs(d)
     in_fixed = (absd >= 1e-4) & (absd < 1e16)
     trimmed = F.regexp_replace(d.cast("decimal(38,20)").cast("string"), "0+$", "")
@@ -104,7 +107,12 @@ def _py_float_repr(d: Column) -> Column:
     ).otherwise(exp_raw)
     py_sci = F.concat(mantissa, F.lit("e"), exp_sign, exp_digits)
     return F.when(d.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(in_fixed, fixed).when(sci.contains("E"), py_sci).otherwise(sci)
+        F.when(F.isnan(d), F.lit("nan"))
+        .when(d == F.lit(float("inf")), F.lit("inf"))
+        .when(d == F.lit(float("-inf")), F.lit("-inf"))
+        .when(in_fixed, fixed)
+        .when(sci.contains("E"), py_sci)
+        .otherwise(sci)
     )
 
 

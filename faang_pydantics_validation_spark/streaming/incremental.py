@@ -119,7 +119,19 @@ def _ordering_rules_state_fn(allowed_transitions: set[str], valid_roles: set[str
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.exists:
-            last_idx, last_ts, last_role, dup_count = state.get
+            vals = tuple(state.get)
+            if len(vals) == 3:
+                # pre-dup_count checkpoint state (schema grew by one
+                # field): default the counter rather than die unpacking.
+                # NOTE Spark validates state schema compatibility against
+                # the checkpoint and normally rejects the widened schema
+                # before user code runs — restarting an old stream on the
+                # new engine needs a fresh --checkpoint dir; this guard
+                # covers stores that skip/relax that validation.
+                last_idx, last_ts, last_role = vals
+                dup_count = 0
+            else:
+                last_idx, last_ts, last_role, dup_count = vals
         else:
             last_idx, last_ts, last_role, dup_count = None, None, None, 0
         out: list[dict[str, Any]] = []

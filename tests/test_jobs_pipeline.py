@@ -55,6 +55,25 @@ def test_dedup_pipeline_stages(spark, corpus):
     assert {r["doc_id"] for r in res_en["kept"].collect()} == {1, 5}
 
 
+def test_dedup_pipeline_failure_releases_cache_mark(spark, corpus):
+    """A pipeline that throws mid-flight must not orphan its live cache
+    mark: an unreleased mark permanently bounds every later default-scope
+    release_caches(0) in a long-lived driver, re-creating the session-wide
+    leak the scoped registry exists to prevent."""
+    import pytest
+
+    from faang_pydantics_validation_spark.jobs.dedup_cli import run_dedup_pipeline
+    from faang_pydantics_validation_spark.operators import dedup as DD
+
+    marks_before = list(DD._LIVE_MARKS)
+    caches_before = len(DD._CACHES)
+    docs = spark.read.parquet(corpus)
+    with pytest.raises(Exception):
+        run_dedup_pipeline(spark, docs, text_col="no_such_column")
+    assert DD._LIVE_MARKS == marks_before
+    assert len(DD._CACHES) == caches_before
+
+
 def test_dedup_cli_smoke(spark, corpus, tmp_path, monkeypatch):
     from pyspark.sql import SparkSession
 
@@ -142,6 +161,48 @@ def test_build_dims_job(spark, tmp_path):
     assert ("c_unknown", "R_tool_exists") in got
     assert ("c_unknown", "R_conv_known") in got
     assert not any(c == "c_known" for c, _ in got)
+
+
+def test_build_dims_duplicate_rows_first_write_wins(spark, tmp_path):
+    """Duplicate term/conv rows resolve like the reference's dict cache:
+    the FIRST row in the dump wins WHOLE — label, family and parent edges
+    together. A min()-per-column winner would pick 'alpha' over the first
+    row's 'zeta' and union BOTH rows' parent edges into the closure,
+    diverging the J3 label-match and J4 subclass verdicts from the
+    reference on dumps with duplicate ids."""
+    from faang_pydantics_validation_spark.jobs.build_dims import build_dims
+
+    terms = [
+        {"term": "TOOL:0001", "label": "zeta", "family": "search",
+         "parents": ["TOOL:0002"]},
+        {"term": "TOOL:0001", "label": "alpha", "family": "code",
+         "parents": ["TOOL:0009"]},
+        {"term": "TOOL:0002", "label": "p", "family": "search"},
+        {"term": "TOOL:0009", "label": "q", "family": "code"},
+    ]
+    convs = [
+        {"conv_id": "c1", "expected_roles": ["user"], "species_tag": "first"},
+        {"conv_id": "c1", "expected_roles": ["assistant"], "species_tag": "second"},
+    ]
+    tpath, cpath = str(tmp_path / "terms.json"), str(tmp_path / "convs.json")
+    with open(tpath, "w") as f:
+        json.dump(terms, f)
+    with open(cpath, "w") as f:
+        json.dump(convs, f)
+    out = str(tmp_path / "dims")
+    build_dims(spark, out, terms_path=tpath, conversations_path=cpath)
+
+    row = spark.read.parquet(f"{out}/dim_tools").where("tool_id = 'TOOL:0001'").first()
+    assert (row["label"], row["family"]) == ("zeta", "search")
+    closure = {
+        r["term"]: list(r["is_a_path"])
+        for r in spark.read.parquet(f"{out}/term_closure").collect()
+    }
+    # only the FIRST row's parent edge exists: 0001 -> 0002, never 0009
+    assert set(closure["TOOL:0001"]) == {"TOOL:0001", "TOOL:0002"}
+    assert "TOOL:0009" not in closure["TOOL:0001"]
+    conv = spark.read.parquet(f"{out}/dim_conversations").first()
+    assert conv["species_tag"] == "first" and list(conv["expected_roles"]) == ["user"]
 
 
 @pytest.fixture(scope="module")

@@ -656,6 +656,10 @@ def test_numeric_export_matches_python_float_repr(spark):
         # outside Python's fixed range -> 'me±XX' scientific
         "1e16", "1.5e16", "0.00001", "-2.5e-7", "1e100", "-1e-20",
         "1.7976931348623157e308", "6.02e23",
+        # Spark's string->double cast ACCEPTS these, so try_cast succeeds
+        # and the renderer (not the raw-string fallback) must produce
+        # Python's spellings, not Java's 'NaN'/'Infinity'
+        "NaN", "Infinity", "-Infinity",
     ]
     df = spark.createDataFrame([(v,) for v in values], "v string")
     got = {

@@ -231,6 +231,37 @@ def test_collapse_short_circuits_on_dup_free_corpus(spark):
         assert a == b, fn.__name__
 
 
+def test_bucket_cap_invariant_to_collapse_short_circuit(spark):
+    """Hot-bucket occupancy counts DISTINCT text digests, so the
+    max_bucket keep/drop decision cannot flip between the collapse and
+    short-circuit paths: a bucket sitting AT the cap in distinct variants
+    plus a few exact copies (raw rows over the cap, pair mass under the
+    adaptive threshold) must keep its near-dup pairs either way. The old
+    raw-row count dropped the whole bucket only on the short-circuit
+    path — the value-identity claim broke exactly at the cap boundary."""
+    base = [f"w{k}" for k in range(40)]
+    distinct = [(i, " ".join(base + [f"tail{i}"])) for i in range(4)]
+    copies = [(100 + c, distinct[0][1]) for c in range(4)]
+    df = spark.createDataFrame(distinct + copies, "doc_id long, text string")
+    for fn, kw, score in (
+        (DD.minhash_lsh_pairs,
+         dict(num_hashes=16, bands=8, threshold=0.3, max_bucket=4), "jaccard"),
+        (DD.simhash_near_pairs,
+         dict(max_hamming=8, n_bands=4, max_bucket=4), "hamming"),
+    ):
+        short = {
+            (r["id_a"], r["id_b"]): r[score]
+            for r in fn(df, collapse_min_pairs=10**9, **kw).collect()
+        }
+        collapsed = {
+            (r["id_a"], r["id_b"]): r[score]
+            for r in fn(df, collapse_min_pairs=0, **kw).collect()
+        }
+        assert short == collapsed, fn.__name__
+        # the planted near-dups (4 distinct + the copy cluster) DID pair up
+        assert (0, 1) in short and (100, 101) in short, fn.__name__
+
+
 def test_cache_registry_scoped_release(spark, docs):
     """release_caches(mark) must unpersist exactly the operator-internal
     caches created after mark — never unrelated session caches (the
