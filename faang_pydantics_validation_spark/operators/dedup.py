@@ -121,16 +121,32 @@ def exact_duplicates(
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text."""
-    words = F.split(normalized_text(text), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)) ),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    # a doc shorter than n words contributes its full text as one shingle
-    return F.array_distinct(
-        F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(grams)
-    )
+    """Distinct word n-grams of the normalized text.
+
+    Built with ONE regexp_extract_all pass: a zero-width lookahead
+    anchored to word starts (`(?:^|(?<= ))`) captures every overlapping
+    n-gram without leaving whole-stage codegen. The equivalent
+    transform(sequence(...), concat_ws(slice(...))) construction is a
+    CodegenFallback higher-order function measured ~8x slower on the
+    sf0.1 documents corpus (3.5s vs 0.45s for the shingle scan) — and
+    the shingle scan is the dominant cost of every near-dup operator at
+    scale. Token semantics are identical: normalized_text collapses only
+    ASCII whitespace to single spaces, and both `\\S+` here and the old
+    split-on-" " treat anything else (including unicode spaces) as word
+    characters. Value parity with the HOF construction is pinned by
+    test_word_shingles_matches_hof_construction.
+    """
+    # NULL text behaves like "" — one empty shingle — matching the HOF
+    # construction exactly (greatest() there skips the NULL size, so a
+    # NULL doc also produced [""], never NULL)
+    nt = F.coalesce(normalized_text(text), F.lit(""))
+    # n-1 whole words + spaces, then a final word, captured via lookahead
+    # so the scan advances one word at a time (overlapping grams)
+    pat = r"(?:^|(?<= ))(?=((?:\S+ ){%d}\S+))" % (n - 1)
+    grams = F.array_distinct(F.regexp_extract_all(nt, F.lit(pat), 1))
+    # a doc shorter than n words has no match: its full normalized text
+    # is the one shingle
+    return F.when(F.size(grams) == 0, F.array(nt)).otherwise(grams)
 
 
 def _shingle_table(

@@ -27,6 +27,53 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string").cache()
 
 
+def test_word_shingles_matches_hof_construction(spark):
+    """word_shingles is built with one anchored-lookahead
+    regexp_extract_all pass (stays in whole-stage codegen); its value must
+    be IDENTICAL — as a set per document — to the reference HOF
+    construction (transform over sequence + concat_ws(slice)), including
+    the edge cases: NULL text (both yield [""], never NULL — greatest()
+    skips the NULL size in the HOF, so it never returned NULL either),
+    empty text, single word, exactly n words,
+    n-1 words (full-text fallback), repeated shingles (distinct), messy
+    ASCII whitespace, and unicode spaces (NOT word separators for either
+    construction — normalized_text collapses only ASCII whitespace)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "one"),
+        (3, "a b c"),
+        (4, "a b"),
+        (5, "  A   b\tC  d \n e  "),
+        (6, "x y x y x y x y"),
+        (7, "nb\xa0sp stays one\xa0word here ok"),  # real NBSPs: not separators
+        (8, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3, 5):
+        words = F.split(DD.normalized_text(F.col("text")), " ")
+        hof = F.array_distinct(
+            F.when(
+                F.size(words) < n, F.array(F.concat_ws(" ", words))
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                )
+            )
+        )
+        got = df.select(
+            "doc_id",
+            F.array_sort(DD.word_shingles(F.col("text"), n)).alias("a"),
+            F.array_sort(hof).alias("b"),
+        ).collect()
+        for r in got:
+            assert (r["a"] is None) == (r["b"] is None), (n, r["doc_id"])
+            assert r["a"] == r["b"], (n, r["doc_id"], r["a"], r["b"])
+
+
 def test_exact_duplicates(spark, docs):
     groups = {r["content_md5"]: r for r in DD.exact_duplicates(docs).collect()}
     dup_groups = [g for g in groups.values() if g["n_docs"] > 1]
