@@ -182,27 +182,46 @@ def ngram_jaccard_pairs(
     a near-dup anyway. Defaults ON (1000) — pass None to disable only for
     corpora known to have no hot shingles. Note shingle-set sizes are
     computed AFTER the cap, so Jaccard is over the rare-shingle sets.
-    Output: (id_a, id_b, jaccard rounded 6dp)."""
+    Output: (id_a, id_b, jaccard rounded 6dp).
+
+    Plan shape (optimization round 6): the quadratic candidate-pair stream
+    is touched EXACTLY ONCE — per-doc sizes ride the shingle stream into
+    the pair aggregation (sz is id-functional, so max() == the value) and
+    the Jaccard threshold is applied straight off the aggregate, instead
+    of joining the aggregated pair stream with sizes twice afterwards (at
+    corpus scale sizes outgrows any broadcast threshold and those joins
+    re-shuffle the *quadratic* stream; carrying 8 bytes per *linear*
+    shingle row is strictly cheaper). The df cap is a broadcast ANTI-join
+    on the HOT set (df > max_df, tiny by definition — the _bucket_cap
+    recipe) rather than an inner join against the vocabulary-sized rare
+    set, whose broadcast build side scales with the vocabulary."""
     sh = _shingle_table(df, id_col, text_col, n, persist=True)
     if max_df is not None:
-        rare = (
+        hot = (
             sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_df)
+            .where(F.col("df") > max_df)
             .select("sh")
         )
-        sh = sh.join(rare, on="sh", how="inner")  # shuffle join; df-capped
+        sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # persisted: BOTH self-join sides read the capped+sized stream off the
+    # cache — without it each side re-runs the hot-count and sizes
+    # aggregation subtrees (observed as 4 duplicate count stages in the r5
+    # runtime profile; AQE's broadcast reuse does not dedupe them)
+    sh = _persisted(sh.join(sizes, on="id"))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), on="sh", how="inner")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.max("a.sz").alias("sz_a"),
+            F.max("b.sz").alias("sz_b"),
+        )
     )
-    scored = (
-        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
+    return (
+        pairs.select(
             "id_a",
             "id_b",
             F.round(
@@ -211,7 +230,6 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return scored
 
 
 def _persisted(df: DataFrame) -> DataFrame:

@@ -43,27 +43,49 @@ def word_array(text: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+PUNCT_CHARS = ".,;:!?'\"()[]{}-"
+ALPHA_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+UPPER_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _char_class_count(t: Column, chars: str) -> Column:
+    """Count of characters of `chars` in t — length(t) - length(translate
+    (t, chars, '')). Value-identical to length(regexp_replace(t,
+    '[^chars]', '')) (both count exactly the class occurrences, NULL ->
+    NULL, '' -> 0) but translate is a plain per-char table lookup: no
+    regex engine, no intermediate string allocation. The regexp_replace
+    construction measured ~59 CPU-s for the 50k-doc sf1.0 quality scan
+    (~1.2ms/doc for six regex passes); see OPTIMIZATION_r06.md."""
+    return F.length(t) - F.length(F.translate(t, chars, ""))
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality scoring: length, token counts, punctuation /
     alpha ratios, mean word length, uppercase ratio. Floats rounded to 6dp
-    for cross-engine determinism."""
+    for cross-engine determinism.
+
+    r6: character-class counts via translate() and token counts via
+    regexp_count() — no regexp_replace/regexp_extract_all intermediate
+    strings or arrays; every output value unchanged (oracle-pinned).
+    n_words == size(split(trim(t), '\\s+')) for non-blank t because the
+    \\S+ runs of a string are exactly its split-on-\\s+ tokens (Java \\s
+    and \\S are complements); blank -> 0 and NULL -> NULL on both forms."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    words = word_array(t)
-    n_words = F.size(words)
-    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
-    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    n_words = F.regexp_count(t, F.lit(r"\S+"))
+    n_punct = _char_class_count(t, PUNCT_CHARS)
+    n_alpha = _char_class_count(t, ALPHA_CHARS)
+    n_upper = _char_class_count(t, UPPER_CHARS)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
-        bpe_ish_token_count(t).alias("n_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).alias("n_tokens"),
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
         F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
         F.round(n_upper / F.greatest(n_alpha, F.lit(1)), 6).alias("upper_ratio"),
         F.round(
-            (n_chars - F.size(words) + 1) / F.greatest(n_words, F.lit(1)), 6
+            (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)), 6
         ).alias("mean_word_len"),
     )
 

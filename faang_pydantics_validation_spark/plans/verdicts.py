@@ -66,6 +66,62 @@ def verdicts(
     )
 
 
+def verdicts_fast(
+    flags: DataFrame,
+    partition_col: str = "ds",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """verdicts() computed from per-row boolean severity flags
+    (rules/compiler.rules_flags) instead of exploded violation rows — for
+    rulesets with NO conversation-scope rules (relationship_errors is 0 by
+    construction, exactly like callers that overwrite it with lit(0)).
+
+    Value-identical to verdicts(facts, compile_row_rules(...)) for the
+    same rules (asserted in tests/test_verdicts_fast.py, including
+    duplicated (conv_id, turn_idx) keys where both copies violate):
+    - classic per_turn aggregates only keys PRESENT in violations; keys
+      with no violation contribute 0 to every sum — here they carry
+      he=hw=0 and contribute 0 identically;
+    - total_turns = sum of per-key row counts == count(*) over facts;
+    - n_conversations = countDistinct over the keyed rows == over facts.
+
+    Why it exists (optimization r6, guide §4.1/§1): the explode path
+    builds struct<rule_id,severity,observed> per rule, packs an array and
+    runs a CodegenFallback higher-order NULL-filter — measured ~12us/row
+    on the events verdict query at sf1.0; the flag path is two boolean
+    columns inside whole-stage codegen and ONE two-level aggregation pass
+    (no separate totals scan of the fact table). Same recipe as
+    plans/fused.py's fast_verdicts, packaged for the composable path.
+
+    `flags` schema: (partition_col, *key_cols, has_error, has_warning)."""
+    keyed = flags.groupBy(partition_col, *key_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(F.col("has_error").cast("int")).alias("__he"),
+        F.max(F.col("has_warning").cast("int")).alias("__hw"),
+    )
+    out = keyed.groupBy(partition_col).agg(
+        F.sum("__n").alias("total_turns"),
+        F.countDistinct(key_cols[0]).alias("n_conversations"),
+        F.sum("__he").alias("error_turns"),
+        F.sum(((F.col("__hw") == 1) & (F.col("__he") == 0)).cast("int")).alias(
+            "warning_only_turns"
+        ),
+    )
+    return out.select(
+        partition_col,
+        "total_turns",
+        "n_conversations",
+        (F.col("total_turns") - F.col("error_turns")).alias("valid_turns"),
+        "error_turns",
+        "warning_only_turns",
+        F.lit(0).cast("long").alias("relationship_errors"),
+        F.when(F.col("error_turns") > 0, F.lit("fail"))
+        .when(F.col("warning_only_turns") > 0, F.lit("pass_with_warnings"))
+        .otherwise(F.lit("pass"))
+        .alias("verdict"),
+    )
+
+
 def verdict_rollup(verdict_df: DataFrame, partition_col: str = "ds") -> DataFrame:
     """G2: grand-total rollup across partitions — the analog of
     unified_validator.py:199-205,224-231 total_summary. One row."""

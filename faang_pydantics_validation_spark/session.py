@@ -33,6 +33,22 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = int(n) if n.isdigit() else (os.cpu_count() or 8)
 
+    # Scale-dependent knobs, parameterised per the optimization guide (§2.2,
+    # §6): the LOCAL defaults keep all cores busy on single-box benches whose
+    # inputs are a few MB-to-100s-of-MB (split floor ~= cores, AQE advisory
+    # small enough that CPU-dense/byte-light stages — regex rule evaluation,
+    # shingle tokenization — don't coalesce below the core count). On a real
+    # cluster set the env vars to the usual production values
+    # (maxPartitionBytes 128m-1g for big sequential scans, advisory 64-256m
+    # so shuffle partitions land in the 100MB-1GB range) — the point is the
+    # settings scale with the deployment instead of being constants tuned
+    # for either mode. These are the same values jobs/validate_bench.py has
+    # always used for the N-vs-4N scaling evidence; promoting them to the
+    # session factory gives every entrypoint the same scan/shuffle
+    # parallelism floor.
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
+    open_cost = os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(512 * 1024))
+    advisory = os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", str(8 * 1024 * 1024))
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -43,9 +59,25 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[32] runs 32 concurrent tasks inside ONE JVM: at 8g the
+        # quadratic-stream aggregations (dedup_ngram's pair count: ~1.8M
+        # hash-table entries x 32 tasks) spilled ~13.5 GB memory / ~1.9 GB
+        # disk PER STAGE (measured via the stage REST API, r6); 24g runs
+        # them spill-free (guide §5: heavy spill -> more memory per
+        # concurrent task). Parameterised: a real cluster sizes
+        # spark.executor.memory to its own core count instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", max_part)
+        .config("spark.sql.files.openCostInBytes", open_cost)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        # let AQE (incl. partition coalescing) apply INSIDE cached plans:
+        # off, every persisted intermediate (dedup shingle/banded tables)
+        # is stored at the static shuffle-partition count (64), and every
+        # downstream stage over the cache pays 64 tasks regardless of how
+        # few MB it holds — the banded minhash table is ~3 MB in 64
+        # partitions, pure scheduling overhead (guide §2.2).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
