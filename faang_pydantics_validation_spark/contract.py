@@ -709,8 +709,11 @@ def q_verdicts_events_daily(spark, sf_dir):
     """FLAGSHIP: full verdict pipeline over events partitioned by day —
     enum rule (error) + value-range rule (warning) -> per-partition
     pass/fail verdict table (G1/G2 + base_validator.py:115-159 semantics).
-    _tp-safe: outputs are counts and count-ratios only."""
-    events = _tp(spark, sf_dir, "events")
+    _t, not _tp: with the boolean-flag path the pre-shuffle work is two
+    codegen booleans, so the first real operator is the keyed aggregation
+    shuffle — a parallelism-floor repartition measured equal at sf1.0
+    (2.39 vs 2.51s) and a pure ~0.4s cost at sf0.1."""
+    events = _t(spark, sf_dir, "events")
     facts = events.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("event_id").cast("int").alias("turn_idx"),
@@ -751,11 +754,15 @@ def q_verdicts_events_daily(spark, sf_dir):
 
 def q_column_stats_orders(spark, sf_dir):
     """G4 single-pass column profile (exactly-checkable subset: the HLL++
-    and KLL outputs are approximate by design and checked in q_approx_*)."""
-    orders = _tp(spark, sf_dir, "orders").withColumn("part", F.lit("all"))
+    and KLL outputs are approximate by design and checked in q_approx_* —
+    include_approx=False keeps this query from paying for sketches it
+    never selects; with the sketches gone the aggregation is scan-bound,
+    so the _tp parallelism floor would cost more than it buys (r6)."""
+    orders = _t(spark, sf_dir, "orders").withColumn("part", F.lit("all"))
     st = ST.column_stats(
         orders, partition_col="part",
         columns=["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+        include_approx=False,
     )
     return st.select(
         "part", "column", "n", "n_null",

@@ -184,17 +184,25 @@ def ngram_jaccard_pairs(
     computed AFTER the cap, so Jaccard is over the rare-shingle sets.
     Output: (id_a, id_b, jaccard rounded 6dp).
 
-    Plan shape (optimization round 6): the quadratic candidate-pair stream
-    is touched EXACTLY ONCE — per-doc sizes ride the shingle stream into
-    the pair aggregation (sz is id-functional, so max() == the value) and
-    the Jaccard threshold is applied straight off the aggregate, instead
-    of joining the aggregated pair stream with sizes twice afterwards (at
-    corpus scale sizes outgrows any broadcast threshold and those joins
-    re-shuffle the *quadratic* stream; carrying 8 bytes per *linear*
-    shingle row is strictly cheaper). The df cap is a broadcast ANTI-join
-    on the HOT set (df > max_df, tiny by definition — the _bucket_cap
-    recipe) rather than an inner join against the vocabulary-sized rare
-    set, whose broadcast build side scales with the vocabulary."""
+    Plan shape (optimization round 6, measured at sf1.0 / 32 cores):
+    - the df cap is a broadcast ANTI-join on the HOT set (df > max_df,
+      tiny by definition — the _bucket_cap recipe) rather than an inner
+      join against the vocabulary-sized rare set, whose broadcast build
+      side scales with the vocabulary;
+    - the capped (id, sh) stream is persisted so the hot-count subtree,
+      the sizes aggregation and both self-join sides read one cache
+      (the r5 plan re-ran the df-count subtree four times);
+    - the quadratic pair stream aggregates the count ONLY (two-long rows):
+      an A/B that carried per-doc sizes through the aggregation (count +
+      2 max()s, five-long rows) cost +3s on the 127M-row pair stream vs
+      +1s for re-attaching sizes to the AGGREGATED stream afterwards —
+      the planner broadcasts the (doc, sz) table when its estimate fits
+      spark.sql.autoBroadcastJoinThreshold (no re-shuffle of the pair
+      stream; at corpus scale where sizes outgrows the threshold it
+      degrades to a shuffle join of the already-reduced pair stream).
+    The pair aggregation needs ~1.8M hash entries per task at sf1.0 —
+    size executor/driver memory so it does not spill (session.py note:
+    8g spilled ~13.5 GB per stage, 24g runs it spill-free)."""
     sh = _shingle_table(df, id_col, text_col, n, persist=True)
     if max_df is not None:
         hot = (
@@ -202,26 +210,19 @@ def ngram_jaccard_pairs(
             .where(F.col("df") > max_df)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
+        sh = _persisted(sh.join(F.broadcast(hot), on="sh", how="left_anti"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    # persisted: BOTH self-join sides read the capped+sized stream off the
-    # cache — without it each side re-runs the hot-count and sizes
-    # aggregation subtrees (observed as 4 duplicate count stages in the r5
-    # runtime profile; AQE's broadcast reuse does not dedupe them)
-    sh = _persisted(sh.join(sizes, on="id"))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), on="sh", how="inner")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.max("a.sz").alias("sz_a"),
-            F.max("b.sz").alias("sz_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        pairs.select(
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(
@@ -562,8 +563,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if verify:
-        # same cached shingle stream as the signature pass — no re-scan
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        # shingle-set size read straight off the cached base array — the
+        # exploded stream is a flatten of __shs (already distinct), so
+        # size(__shs) == the groupBy(id).count() it replaces, minus one
+        # aggregation + exchange over the exploded stream (r6)
+        sizes = base.select("id", F.size("__shs").alias("sz"))
         common = (
             cand.join(sh.alias("sa"), cand["id_a"] == F.col("sa.id"))
             .join(

@@ -34,10 +34,18 @@ def column_stats(
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
     rsd: float = 0.02,
     accuracy: int = 1000,
+    include_approx: bool = True,
 ) -> DataFrame:
-    """Output: (partition, column, n, n_null, null_rate, min, max,
-    approx_distinct, quantiles:array<double>) — one row per column per
-    partition, computed in one pass."""
+    """Output: (partition, column, n, n_null, null_rate, min, max[,
+    approx_distinct, quantiles:array<double>]) — one row per column per
+    partition, computed in one pass.
+
+    include_approx=False drops the HLL++ and KLL sketch aggregates (and
+    their output columns) entirely: consumers that only read the exact
+    profile would otherwise still PAY for the sketches, because nested
+    column pruning does not reach through the unpivot explode to remove
+    unused struct fields from the aggregation (r6: the sketches were
+    ~1.3s of the 2.3s sf1.0 orders profile that selects neither)."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = [c for c in (columns or df.columns) if c != partition_col]
 
@@ -48,6 +56,8 @@ def column_stats(
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{c}"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"__min__{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"__max__{c}"))
+        if not include_approx:
+            continue
         aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"__dist__{c}"))
         if is_num:
             aggs.append(
@@ -62,6 +72,12 @@ def column_stats(
     wide = df.groupBy(partition_col).agg(*aggs)
 
     # unpivot: one struct per column -> explode (metadata-sized data here)
+    approx_fields = (
+        lambda c: [
+            F.col(f"__dist__{c}").alias("approx_distinct"),
+            F.col(f"__q__{c}").alias("quantiles"),
+        ]
+    ) if include_approx else (lambda c: [])
     structs = [
         F.struct(
             F.lit(c).alias("column"),
@@ -70,8 +86,7 @@ def column_stats(
             (F.col(f"__null__{c}") / F.col("__n")).alias("null_rate"),
             F.col(f"__min__{c}").alias("min"),
             F.col(f"__max__{c}").alias("max"),
-            F.col(f"__dist__{c}").alias("approx_distinct"),
-            F.col(f"__q__{c}").alias("quantiles"),
+            *approx_fields(c),
         )
         for c in cols
     ]

@@ -46,7 +46,10 @@ def get_spark(
     # always used for the N-vs-4N scaling evidence; promoting them to the
     # session factory gives every entrypoint the same scan/shuffle
     # parallelism floor.
-    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
+    # 8m (not 4m): the 232MB/192-file bench-transcripts scan packs into ~31
+    # tasks — one clean wave on 32 cores; 4m gave 50 tasks = 1.6 waves with
+    # an idle tail (best-of-3 A/B: 5.48s vs 6.63s on the fused suite)
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024))
     open_cost = os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(512 * 1024))
     advisory = os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", str(8 * 1024 * 1024))
     b = (
