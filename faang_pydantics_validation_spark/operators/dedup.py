@@ -397,7 +397,15 @@ def _bucket_cap(
 
     occupancy_col (a digest-hash column on `banded`): occupancy is
     count(DISTINCT occupancy_col) — distinct normalized-text variants —
-    instead of raw rows. Identical documents share identical signatures,
+    instead of raw rows. PRECONDITION when the caller disables the
+    exact-dup collapse (collapse_exact=False) on input that still
+    contains heavy exact duplication: distinct-variant occupancy no
+    longer bounds RAW rows, so a bucket with few variants but millions
+    of identical copies passes the cap and the banded self-join goes
+    quadratic — collapse_exact=False is only for PRE-COLLAPSED input
+    (e.g. survivors of an upstream exact stage); the adaptive default
+    path bounds the hazard by construction (q <= collapse_min_pairs
+    short-circuit). Identical documents share identical signatures,
     hence identical bucket memberships, so this makes the cap decision
     INVARIANT to whether the exact-dup collapse upstream engaged or
     short-circuited: without it, a bucket sitting just under the cap in
