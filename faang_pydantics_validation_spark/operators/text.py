@@ -64,9 +64,11 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     alpha ratios, mean word length, uppercase ratio. Floats rounded to 6dp
     for cross-engine determinism.
 
-    r6: character-class counts via translate() and token counts via
-    regexp_count() — no regexp_replace/regexp_extract_all intermediate
-    strings or arrays; every output value unchanged (oracle-pinned).
+    r6: character-class counts via translate() (no regex engine, no
+    intermediate strings — the measured win) and token counts via
+    regexp_count() (note: Catalyst rewrites it to
+    size(regexp_extract_all(...)), so match arrays still materialize
+    there); every output value unchanged (oracle-pinned).
     n_words == size(split(trim(t), '\\s+')) for non-blank t because the
     \\S+ runs of a string are exactly its split-on-\\s+ tokens (Java \\s
     and \\S are complements); blank -> 0 and NULL -> NULL on both forms."""
